@@ -414,11 +414,12 @@ def _build_ppl_table() -> dict[tuple[str, str], float]:
 
 _PPL_TABLE = _build_ppl_table()
 _PPL_OOV = math.log(1.0 / len(_PPL_VOCAB))
+_WS_COLLAPSE_RE = re.compile(r"\s+")
 
 
 def perplexity(text: str) -> float:
     """Char-bigram perplexity over [a-z ]; OOV chars get uniform prob."""
-    s = re.sub(r"\s+", " ", text.lower())
+    s = _WS_COLLAPSE_RE.sub(" ", text.lower())
     if len(s) < 2:
         return float(len(_PPL_VOCAB))
     total = 0.0
@@ -433,17 +434,50 @@ def perplexity(text: str) -> float:
 # Full row pipeline (the oracle the Spark job must agree with)
 # --------------------------------------------------------------------------
 
-def process_transcript(text: str | None) -> dict:
-    """Run detect→scrub→verify→grade→quality→langid for one transcript.
-    Returns the flat dict of output columns (minus audio columns)."""
+def scrub_row(text: str | None) -> dict:
+    """UDF kernel: detect → redact → regex-scrub → verification rescan for
+    one transcript. This exact function runs inside the pandas UDF
+    (functions/scrub.py); everything else (quality, langid, grading CASE)
+    is Column expressions."""
     if text is None:
         text = ""
     tokens, matches = detect_words(text)
     scrubbed = redact_tokens(tokens, matches)
     scrubbed, ext_counts = regex_scrub(scrubbed)
-    pii_count = len(matches) + sum(ext_counts.values())
-    vt, vh = verify_counts(scrubbed)
-    qa_status = grade(vt, vh)
+    vt, _vh = verify_counts(scrubbed)
+    redactions = [
+        {
+            "original": m.text,
+            "replacement": lx.CATEGORY_LABELS.get(m.category, f"[{m.category.upper()}]"),
+            "category": m.category,
+            "confidence": m.confidence,
+            "is_fuzzy": m.is_fuzzy,
+        }
+        for m in matches
+    ]
+    return {
+        "scrubbed_text": scrubbed,
+        "redactions": redactions,
+        "n_exact": sum(1 for m in matches if not m.is_fuzzy),
+        "n_fuzzy": sum(1 for m in matches if m.is_fuzzy),
+        "ext_counts": ext_counts,
+        "verify_pii_count": vt,
+    }
+
+
+def process_transcript(text: str | None) -> dict:
+    """Full-row oracle: scrub kernel + quality + langid + ppl + grade +
+    keep decision. The Spark pipeline (UDF + Column expressions) must agree
+    with this on every row."""
+    if text is None:
+        text = ""
+    s = scrub_row(text)
+    matches_cats = [r["category"] for r in s["redactions"]]
+    ext_counts = s["ext_counts"]
+    scrubbed = s["scrubbed_text"]
+    pii_count = len(matches_cats) + sum(ext_counts.values())
+    vt = s["verify_pii_count"]
+    qa_status = grade(vt, vt)
     q = quality_metrics(text)
     lang, lang_conf = langid(text)
     ppl = perplexity(text)
@@ -453,15 +487,15 @@ def process_transcript(text: str | None) -> dict:
         and qa_status == "PASS"
     )
     cat_counts: dict[str, int] = {}
-    for m in matches:
-        cat_counts[m.category] = cat_counts.get(m.category, 0) + 1
+    for c in matches_cats:
+        cat_counts[c] = cat_counts.get(c, 0) + 1
     for c, n in ext_counts.items():
         cat_counts[c] = cat_counts.get(c, 0) + n
     return {
         "scrubbed_text": scrubbed,
         "pii_count": pii_count,
-        "n_exact": sum(1 for m in matches if not m.is_fuzzy),
-        "n_fuzzy": sum(1 for m in matches if m.is_fuzzy),
+        "n_exact": s["n_exact"],
+        "n_fuzzy": s["n_fuzzy"],
         "verify_pii_count": vt,
         "qa_status": qa_status,
         "word_cnt": q["word_cnt"],

@@ -1,0 +1,57 @@
+"""Char-bigram perplexity as a vectorized pandas UDF (KenLM-style score).
+
+The log-prob table is built once at import from the deterministic in-repo
+corpus (core._build_ppl_table) and shipped in the UDF closure. The batch
+kernel is numpy: chars → ids → table gather → segment means, no per-row
+Python string loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
+
+from .. import core
+
+_V = len(core._PPL_VOCAB)
+_CHAR_TO_ID = np.full(128, _V, dtype=np.int32)  # OOV bucket = _V
+for _i, _c in enumerate(core._PPL_VOCAB):
+    _CHAR_TO_ID[ord(_c)] = _i
+
+# (V+1)x(V+1) table with OOV row/col = uniform log prob
+_TABLE = np.full((_V + 1, _V + 1), core._PPL_OOV, dtype=np.float64)
+for (_a, _b), _lp in core._PPL_TABLE.items():
+    _TABLE[core._PPL_VOCAB.index(_a), core._PPL_VOCAB.index(_b)] = _lp
+
+
+def ppl_batch(texts: pd.Series) -> np.ndarray:
+    out = np.empty(len(texts), dtype=np.float64)
+    for k, text in enumerate(texts):
+        out[k] = _ppl_one(text)
+    return out
+
+
+def _ppl_one(text) -> float:
+    if text is None:
+        return float(_V)
+    s = core._WS_COLLAPSE_RE.sub(" ", str(text).lower())  # same regex as core
+    if len(s) < 2:
+        return float(_V)
+    # code points (not utf-8 bytes) so non-ASCII chars are single OOV
+    # entries exactly like core's per-char dict miss
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    ids = np.where(codes < 128, _CHAR_TO_ID[np.minimum(codes, 127)], _V)
+    lp = _TABLE[ids[:-1], ids[1:]]
+    return float(np.exp(-lp.mean()))
+
+
+@pandas_udf(T.DoubleType())
+def ppl_udf(transcript: pd.Series) -> pd.Series:
+    return pd.Series(ppl_batch(transcript))
+
+
+def with_ppl(df, text_col: str = "transcript"):
+    return df.withColumn("ppl", ppl_udf(F.col(text_col)))

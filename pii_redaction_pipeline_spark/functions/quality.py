@@ -1,0 +1,98 @@
+"""Quality heuristics + langid + grading as pure Column expressions.
+
+North rule: "heuristic quality rules (length, repetition ratio, symbol
+density, langid-confidence thresholds) expressed as DataFrame column
+expressions" and "verification grade — CASE WHEN on thresholds, no UDF".
+Everything here stays inside whole-stage codegen (JVM, no Python).
+
+Semantics must match core.quality_metrics / core.langid / core.grade
+exactly — the pytest oracle enforces it. Tokenization is Java
+split('\\s+') with empties filtered, which equals Python str.split()
+on ASCII whitespace (datagen emits no exotic unicode whitespace).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .. import lexicon as lx
+
+_TOKENS = "_q_tokens"
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.coalesce(text, F.lit("")), r"\s+"), lambda x: x != "")
+
+
+def with_quality(df, text_col: str = "transcript"):
+    """word_cnt, distinct_ratio, symbol_density, quality_ok columns."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    df = df.withColumn(_TOKENS, _tokens(F.col(text_col)))
+    word_cnt = F.size(F.col(_TOKENS))
+    distinct_cnt = F.size(F.array_distinct(F.transform(F.col(_TOKENS), F.lower)))
+    distinct_ratio = F.when(word_cnt > 0,
+                            distinct_cnt.cast("double") / word_cnt).otherwise(F.lit(0.0))
+    n_chars = F.length(text)
+    symbol_cnt = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    symbol_density = F.when(n_chars > 0,
+                            symbol_cnt.cast("double") / n_chars).otherwise(F.lit(0.0))
+    df = (
+        df.withColumn("word_cnt", word_cnt)
+        .withColumn("distinct_ratio", distinct_ratio)
+        .withColumn("symbol_density", symbol_density)
+    )
+    return df.withColumn(
+        "quality_ok",
+        (F.col("word_cnt") >= lx.QUALITY_MIN_WORDS)
+        & (F.col("word_cnt") <= lx.QUALITY_MAX_WORDS)
+        & ((F.col("word_cnt") < lx.QUALITY_DISTINCT_RATIO_MIN_WORDS)
+           | (F.col("distinct_ratio") >= lx.QUALITY_MIN_DISTINCT_RATIO))
+        & (F.col("symbol_density") <= lx.QUALITY_MAX_SYMBOL_DENSITY),
+    )
+
+
+def with_langid(df, text_col: str = "transcript"):
+    """lang + lang_conf columns via stopword-hit ratios (fastText-style
+    confidence proxy; ties break in LANG_PRIORITY order like core.langid)."""
+    if _TOKENS not in df.columns:
+        df = df.withColumn(_TOKENS, _tokens(F.col(text_col)))
+    toks_lower = F.transform(F.col(_TOKENS), F.lower)
+    n = F.size(F.col(_TOKENS))
+    scores = {}
+    for lang in lx.LANG_PRIORITY:
+        stop = F.array(*[F.lit(w) for w in lx.LANG_STOPWORDS[lang]])
+        hits = F.size(F.filter(toks_lower, lambda x: F.array_contains(stop, x)))
+        scores[lang] = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+    best = F.greatest(*scores.values())
+    lang_expr = F.when(best < lx.LANGID_MIN_CONFIDENCE, F.lit("und"))
+    for lang in lx.LANG_PRIORITY:
+        lang_expr = lang_expr.when(scores[lang] == best, F.lit(lang))
+    return (
+        df.withColumn("lang", lang_expr)
+        .withColumn("lang_conf", best)
+    )
+
+
+def with_grade(df):
+    """qa_status CASE over the verification rescan count
+    (reference thresholds src/config.py:42-44; rescan matches are exact →
+    high-confidence, so PASS_WITH_NOTE is unreachable in text-only mode —
+    same as the reference with verify_audio=False) + keep decision."""
+    v = F.col("verify_pii_count")
+    df = df.withColumn(
+        "qa_status",
+        F.when(v == 0, "PASS")
+        .when(v <= lx.VERIFY_REVIEW_THRESHOLD, "REVIEW_REQUIRED")
+        .otherwise("FAIL"),
+    )
+    return df.withColumn(
+        "keep",
+        F.col("quality_ok")
+        & (F.col("lang_conf") >= lx.LANGID_MIN_CONFIDENCE)
+        & (F.col("qa_status") == "PASS"),
+    )
+
+
+def drop_helper_cols(df):
+    return df.drop(_TOKENS)

@@ -1,0 +1,55 @@
+"""detect_and_scrub — the one hot-path pandas UDF.
+
+Wraps core.scrub_row over Arrow batches (Series→Series of structs). The
+lexicon dict/blacklist live in the closure → shipped once per executor
+via task broadcast; the fuzzy lookup memo in core persists per Python
+worker process, so repeated vocabulary across rows costs one Levenshtein
+sweep total (the reference recomputes per word occurrence —
+src/pii_detector.py:294-321; same output, less work).
+
+Reference semantics implemented: src/pii_detector.py:146-353 (two-layer
+detection), src/text_redactor.py:77-170 (label substitution),
+src/verifier.py:132-157 (rescan) + north-star regex/toxicity scrub.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .. import core
+from ..schema import SCRUB_STRUCT
+
+
+@pandas_udf(SCRUB_STRUCT)
+def detect_and_scrub(transcript: pd.Series) -> pd.DataFrame:
+    out = {k.name: [] for k in SCRUB_STRUCT.fields}
+    for text in transcript:
+        r = core.scrub_row(text)
+        ext = r["ext_counts"]
+        out["scrubbed_text"].append(r["scrubbed_text"])
+        out["redactions"].append(r["redactions"])
+        out["n_exact"].append(r["n_exact"])
+        out["n_fuzzy"].append(r["n_fuzzy"])
+        out["n_email"].append(ext.get("email", 0))
+        out["n_ssn"].append(ext.get("ssn", 0))
+        out["n_phone"].append(ext.get("phone", 0))
+        out["n_toxic"].append(ext.get("toxic", 0))
+        out["verify_pii_count"].append(r["verify_pii_count"])
+    return pd.DataFrame(out)
+
+
+def with_scrub(df, text_col: str = "transcript"):
+    """Attach scrub outputs as top-level columns. One UDF call, projected
+    into multiple columns (Catalyst collapses the struct access)."""
+    df = df.withColumn("_scrub", detect_and_scrub(F.col(text_col)))
+    for name in ["scrubbed_text", "redactions", "n_exact", "n_fuzzy",
+                 "n_email", "n_ssn", "n_phone", "n_toxic", "verify_pii_count"]:
+        df = df.withColumn(name, F.col(f"_scrub.{name}"))
+    df = df.drop("_scrub")
+    return df.withColumn(
+        "pii_count",
+        F.col("n_exact") + F.col("n_fuzzy") + F.col("n_email")
+        + F.col("n_ssn") + F.col("n_phone") + F.col("n_toxic"),
+    )

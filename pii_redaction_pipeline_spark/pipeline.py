@@ -1,0 +1,93 @@
+"""Composable DataFrame pipeline: each stage is df -> df (SURVEY §3.2).
+
+Stage order mirrors the reference 5-stage chain re-expressed Spark-first
+(src/pipeline.py:106-204): input table scan → salted repartition →
+quality/langid Column expressions → detect_and_scrub pandas UDF → grade
+CASE → (optional) audio decode-verify → results.
+
+Scale notes (100 TB / 1000 executors):
+  - All logic is row-local → no shuffle anywhere in the hot path. The only
+    exchange is the explicit salted repartition, which exists to balance
+    the heavy-tailed transcript-length / hot-language skew across tasks
+    before the expensive Python stage.
+  - `bytes` is projected into the decode stage only; with
+    with_audio_verify=False Catalyst prunes it out of the scan entirely
+    (check .explain → ReadSchema excludes bytes).
+  - Arrow batches are capped (session.ARROW_BATCH_ROWS) so MB-scale audio
+    rows can't OOM Python workers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions.audio import with_decode_verify
+from .functions.perplexity import with_ppl
+from .functions.quality import drop_helper_cols, with_grade, with_langid, with_quality
+from .functions.scrub import with_scrub
+
+
+@dataclass
+class PipelineConfig:
+    with_audio_verify: bool = True
+    with_ppl: bool = True
+    salt_partitions: int | None = None  # None → leave partitioning to AQE
+    text_col: str = "transcript"
+
+
+def salted_repartition(df: DataFrame, n_partitions: int,
+                       key_col: str = "clip_id") -> DataFrame:
+    """Uniform size-balanced repartition: hash-salt on the row key, NOT on
+    content columns, so hot language buckets / long-transcript runs spread
+    evenly across tasks (north-rule skew handling; SURVEY §4.3). The salt
+    is deterministic (no rand()) so retried tasks stay idempotent."""
+    return df.repartition(n_partitions, F.pmod(F.hash(F.col(key_col)),
+                                               F.lit(n_partitions)))
+
+
+def apply_pipeline(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    cfg = cfg or PipelineConfig()
+    if cfg.salt_partitions:
+        df = salted_repartition(df, cfg.salt_partitions)
+    df = with_quality(df, cfg.text_col)   # pure Column exprs (codegen)
+    df = with_langid(df, cfg.text_col)    # pure Column exprs (codegen)
+    df = drop_helper_cols(df)
+    df = with_scrub(df, cfg.text_col)     # the one hot-path pandas UDF
+    df = with_grade(df)                   # CASE WHEN grading (codegen)
+    if cfg.with_ppl:
+        df = with_ppl(df, cfg.text_col)
+    if cfg.with_audio_verify and "bytes" in df.columns:
+        df = with_decode_verify(df)       # only stage that touches `bytes`
+    return df
+
+
+def manifest_df(results: DataFrame) -> DataFrame:
+    """Per-clip metadata manifest (reference src/pipeline.py:269-298),
+    as a table instead of a JSON file — realizes the reference's own
+    'Parquet would be better at scale' note (src/pipeline.py:292)."""
+    return results.select(
+        "clip_id",
+        (F.col("dur_ms") / 1000.0).alias("duration_sec"),
+        F.col("sr_hz").alias("sample_rate"),
+        (F.col("pii_count") > 0).alias("has_pii"),
+        "pii_count",
+        F.date_format(F.current_date(), "yyyy-MM-dd").alias("deid_version"),
+        "qa_status",
+    )
+
+
+def qa_report_df(results: DataFrame) -> DataFrame:
+    """Job-level QA aggregate (reference src/pipeline.py:300-341):
+    one hash-agg pass, partial+final for free."""
+    return results.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum("pii_count").alias("total_pii"),
+        F.sum(F.when(F.col("qa_status") == "PASS", 1).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(F.col("qa_status") == "REVIEW_REQUIRED", 1).otherwise(0)).alias("n_review"),
+        F.sum(F.when(F.col("qa_status") == "FAIL", 1).otherwise(0)).alias("n_fail"),
+        F.avg("word_cnt").alias("avg_words"),
+    )

@@ -1,0 +1,45 @@
+"""SparkSession factory with the configs the pipeline depends on.
+
+Scale rationale (targets a 1000-executor cluster; tested on local[N]):
+  - AQE on: runtime partition coalescing + skew-split for the heavy-tailed
+    transcript-length distribution (north rule requires explicit skew
+    handling; AQE is the Catalyst half, salted repartition the job half).
+  - Arrow enabled + small maxRecordsPerBatch: clips rows can carry MB-scale
+    audio ``bytes``; 10k-row default batches would OOM the Python workers
+    (SURVEY §4.3). 256 rows/batch keeps worker RSS bounded while amortizing
+    Arrow overhead.
+  - shuffle.partitions sized to cores for local mode; on a real cluster AQE
+    coalesces from a higher initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH_ROWS = 256
+
+
+def get_spark(app: str = "pii_scrub", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,137 @@
+"""End-to-end Spark pipeline vs the pure-Python oracle (SURVEY §5 T2/T3).
+
+Every row of a 400-clip synthetic table must agree with
+core.process_transcript on scrubbed text (equality), keep/qa_status
+(the F1≥0.99 gate — we require exact agreement, stronger), quality
+metrics, langid, and perplexity; audio invariants: bytes pass through
+untouched, decoded PCM SNR ≥ 30 dB vs the generator signal, opus rows
+captured as per-row errors.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from pii_redaction_pipeline_spark import core, datagen
+from pii_redaction_pipeline_spark.functions.audio import decode_wav_bytes, snr_db
+from pii_redaction_pipeline_spark.pipeline import (
+    PipelineConfig,
+    apply_pipeline,
+    manifest_df,
+    qa_report_df,
+)
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    clips = datagen.clips_df(spark, N, seed=42, partitions=8)
+    out = apply_pipeline(clips, PipelineConfig(salt_partitions=8))
+    rows = {r["clip_id"]: r for r in out.collect()}
+    assert len(rows) == N
+    return rows
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    pdf = datagen.clips_pandas(N, seed=42, with_audio=False)
+    return {
+        row.clip_id: (row, core.process_transcript(row.transcript))
+        for row in pdf.itertuples()
+    }
+
+
+def test_scrubbed_text_equality(results, oracle):
+    for cid, (_, exp) in oracle.items():
+        assert results[cid]["scrubbed_text"] == exp["scrubbed_text"], cid
+
+
+def test_keep_and_status_agreement(results, oracle):
+    """North rule asks F1>=0.99; we assert exact agreement on all rows."""
+    for cid, (_, exp) in oracle.items():
+        r = results[cid]
+        assert r["qa_status"] == exp["qa_status"], cid
+        assert bool(r["keep"]) == exp["keep"], cid
+        assert r["pii_count"] == exp["pii_count"], cid
+        assert r["verify_pii_count"] == exp["verify_pii_count"], cid
+
+
+def test_quality_langid_ppl_agreement(results, oracle):
+    for cid, (_, exp) in oracle.items():
+        r = results[cid]
+        assert r["word_cnt"] == exp["word_cnt"], cid
+        assert math.isclose(r["distinct_ratio"], exp["distinct_ratio"],
+                            rel_tol=0, abs_tol=0), cid
+        assert math.isclose(r["symbol_density"], exp["symbol_density"],
+                            rel_tol=0, abs_tol=0), cid
+        assert r["lang"] == exp["lang"], cid
+        assert math.isclose(r["lang_conf"], exp["lang_conf"], abs_tol=0), cid
+        assert bool(r["quality_ok"]) == exp["quality_ok"], cid
+        assert math.isclose(r["ppl"], exp["ppl"], rel_tol=1e-12), cid
+
+
+def test_transcript_passthrough(results, oracle):
+    for cid, (row, _) in oracle.items():
+        assert results[cid]["transcript"] == row.transcript, cid
+
+
+def test_bytes_passthrough_and_snr(results):
+    """bytes byte-identical through the pipeline; decoded PCM >=30dB SNR
+    vs the generator signal (the north-rule PCM invariant)."""
+    pdf = datagen.clips_pandas(N, seed=42, with_audio=True)
+    checked_snr = 0
+    for row in pdf.itertuples():
+        r = results[row.clip_id]
+        assert bytes(r["bytes"]) == bytes(row.bytes), row.clip_id
+        if row.codec == "wav" and checked_snr < 40:
+            pcm, sr = decode_wav_bytes(bytes(r["bytes"]))
+            assert sr == row.sr_hz
+            ref = datagen.synth_pcm(int(row.clip_id.split("_")[1]),
+                                    row.dur_ms, row.sr_hz)
+            assert snr_db(ref, pcm) >= 30.0, row.clip_id
+            checked_snr += 1
+    assert checked_snr == 40
+
+
+def test_decode_flags(results):
+    pdf = datagen.clips_pandas(N, seed=42, with_audio=False)
+    for row in pdf.itertuples():
+        r = results[row.clip_id]
+        if row.codec == "wav":
+            assert r["decode_ok"] and r["error"] is None, row.clip_id
+            assert r["n_samples"] == int(row.sr_hz * row.dur_ms / 1000)
+        else:  # opus → captured error, row still present (continue-on-error)
+            assert not r["decode_ok"]
+            assert r["stage"] == "decode" and "codec" in r["error"]
+
+
+def test_manifest_and_report(spark):
+    clips = datagen.clips_df(spark, 100, seed=42, partitions=4)
+    res = apply_pipeline(clips, PipelineConfig(with_audio_verify=False,
+                                               with_ppl=False))
+    man = manifest_df(res.withColumn("dur_ms", res["dur_ms"]))
+    rows = man.collect()
+    assert len(rows) == 100
+    assert {r["qa_status"] for r in rows} <= {"PASS", "REVIEW_REQUIRED", "FAIL"}
+    rep = qa_report_df(res).collect()[0]
+    assert rep["total"] == 100
+    assert rep["n_pass"] + rep["n_review"] + rep["n_fail"] == 100
+    assert 0 < rep["n_kept"] < 100
+
+
+def test_bytes_pruned_when_audio_off(spark):
+    """Column pruning: with audio verify off, the physical scan must not
+    read `bytes` (explain ReadSchema check — SURVEY §4.2)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        datagen.clips_df(spark, 50, seed=1, partitions=2).write.mode(
+            "overwrite").parquet(f"{d}/clips")
+        clips = spark.read.parquet(f"{d}/clips")
+        out = apply_pipeline(clips, PipelineConfig(with_audio_verify=False,
+                                                   with_ppl=False))
+        out = out.drop("bytes")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "bytes" not in plan.split("ReadSchema")[-1][:400]
