@@ -1,0 +1,466 @@
+"""Query registry: every operator exposed through the driver contract.
+
+Each entry is (spark_fn, duckdb_oracle_sql | None). The Spark side is the
+engine under test; the DuckDB SQL is the independent oracle the driver
+runs side-by-side at sf=0.01. Column names/types are aligned on both
+sides (the driver hashes values with columns sorted by name).
+
+The `documents` table carries synthetic word-soup text with no PII, so
+detection queries enrich it deterministically in-query (ENRICH_SQL — same
+expression evaluated by both engines) to make the scrub path
+discriminating.
+
+Float columns that feed the value-hash are rounded on both sides; all
+count-ish columns are cast to bigint on both sides.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import lexicon as lx
+from .functions import text as tx
+from .functions.quality import with_langid, with_quality
+
+# deterministic per-row enrichment — valid in Spark SQL and DuckDB SQL
+ENRICH_SQL = (
+    "concat(coalesce(text, ''), ' ', CASE doc_id % 10 "
+    "WHEN 0 THEN 'I visited Houston on Monday' "
+    "WHEN 1 THEN 'contact jane.doe@example.com or (555) 123-4567' "
+    "WHEN 2 THEN 'ssn 123-45-6789 you idiot' "
+    "WHEN 3 THEN 'we flew to New York City and then New Hampshire' "
+    "WHEN 4 THEN 'the Houston-Texas corridor keeps growing' "
+    "WHEN 5 THEN 'she moved to Greenville in January' "
+    "WHEN 6 THEN 'Salt Lake City and Corpus Christi are far apart' "
+    "WHEN 7 THEN 'the sky was blue and the leaves turned orange' "
+    "ELSE 'plain filler with nothing of note' END)"
+)
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _docs_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(ENRICH_SQL).alias("etext"))
+
+
+# ---------------------------------------------------------------------------
+# scrub / quality / langid / grade family (documents)
+# ---------------------------------------------------------------------------
+
+def q_scrub_lexicon(spark, sf_dir):
+    """Char-path lexicon+regex scrub chain (reference detect_in_text
+    semantics, src/pii_detector.py:355-406 + north-star regexes)."""
+    return _docs_enriched(spark, sf_dir).select(
+        "doc_id", tx.scrub_col(F.col("etext")).alias("scrubbed_text"))
+
+
+SQL_SCRUB_LEXICON = (
+    f"SELECT doc_id, {tx.duck_scrub_sql(ENRICH_SQL)} AS scrubbed_text "
+    "FROM documents"
+)
+
+
+def q_scrub_counts(spark, sf_dir):
+    """Per-category consumed-match counts (priority-ordered chain)."""
+    df = _docs_enriched(spark, sf_dir)
+    counts = tx.step_count_cols(F.col("etext"))
+    cols = [counts[c].alias(f"n_{c}") for c in counts]
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.select("doc_id", *cols, total.alias("pii_total"))
+
+
+def _sql_scrub_counts() -> str:
+    counts = tx.duck_step_count_sqls(ENRICH_SQL)
+    cols = ", ".join(f"{sql} AS n_{c}" for c, sql in counts.items())
+    total = " + ".join(counts.values())
+    return f"SELECT doc_id, {cols}, {total} AS pii_total FROM documents"
+
+
+def q_quality_flags(spark, sf_dir):
+    """Heuristic quality rules as pure Column expressions (north rule)."""
+    df = _read(spark, sf_dir, "documents")
+    df = with_quality(df, "text")
+    return df.select(
+        "doc_id",
+        F.col("word_cnt").cast("bigint").alias("word_cnt"),
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("symbol_density", 6).alias("symbol_density"),
+        "quality_ok",
+    )
+
+
+_DUCK_TOKS = ("list_filter(string_split_regex(coalesce(text,''), '\\s+'), "
+              "x -> x <> '')")
+
+SQL_QUALITY_FLAGS = f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text,'') AS text, {_DUCK_TOKS} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS word_cnt,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS DOUBLE)
+             / len(toks) ELSE 0.0 END AS distinct_ratio,
+         CASE WHEN len(text) > 0 THEN
+           CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / len(text) ELSE 0.0 END AS symbol_density
+  FROM t
+)
+SELECT doc_id, word_cnt, round(distinct_ratio, 6) AS distinct_ratio,
+       round(symbol_density, 6) AS symbol_density,
+       (word_cnt >= {lx.QUALITY_MIN_WORDS}
+        AND word_cnt <= {lx.QUALITY_MAX_WORDS}
+        AND (word_cnt < {lx.QUALITY_DISTINCT_RATIO_MIN_WORDS}
+             OR distinct_ratio >= {lx.QUALITY_MIN_DISTINCT_RATIO})
+        AND symbol_density <= {lx.QUALITY_MAX_SYMBOL_DENSITY}) AS quality_ok
+FROM m
+"""
+
+
+def q_langid_confidence(spark, sf_dir):
+    df = _read(spark, sf_dir, "documents")
+    df = with_langid(df, "text")
+    return df.select("doc_id", F.col("lang").alias("lang_pred"),
+                     F.round("lang_conf", 6).alias("lang_conf"))
+
+
+def _sql_langid() -> str:
+    score_cols = []
+    for lang in lx.LANG_PRIORITY:
+        lits = ", ".join("'" + w + "'" for w in lx.LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, "
+            f"x -> list_contains([{lits}], lower(x)))) AS DOUBLE) / len(toks) "
+            f"ELSE 0.0 END AS s_{lang}")
+    best = "greatest(" + ", ".join(f"s_{l}" for l in lx.LANG_PRIORITY) + ")"
+    pick = f"CASE WHEN {best} < {lx.LANGID_MIN_CONFIDENCE} THEN 'und' "
+    for lang in lx.LANG_PRIORITY:
+        pick += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    pick += "END"
+    return f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {", ".join(score_cols)} FROM t)
+SELECT doc_id, {pick} AS lang_pred, round({best}, 6) AS lang_conf FROM s
+"""
+
+
+def q_keep_drop_grade(spark, sf_dir):
+    """Full SQL-expressible grade on enriched docs: scrub → residual rescan
+    → qa CASE (reference thresholds src/config.py:42-44) → keep."""
+    df = _read(spark, sf_dir, "documents").withColumn("etext", F.expr(ENRICH_SQL))
+    df = with_quality(df, "etext")
+    df = with_langid(df, "etext")
+    df = df.withColumn("scrubbed_text", tx.scrub_col(F.col("etext")))
+    df = df.withColumn("residual_pii", tx.rescan_count_col(F.col("scrubbed_text")))
+    df = df.withColumn(
+        "qa_status",
+        F.when(F.col("residual_pii") == 0, "PASS")
+        .when(F.col("residual_pii") <= lx.VERIFY_REVIEW_THRESHOLD, "REVIEW_REQUIRED")
+        .otherwise("FAIL"))
+    df = df.withColumn(
+        "keep",
+        F.col("quality_ok") & (F.col("lang_conf") >= lx.LANGID_MIN_CONFIDENCE)
+        & (F.col("qa_status") == "PASS"))
+    return df.select("doc_id", "residual_pii", "qa_status", "keep")
+
+
+def _sql_keep_drop() -> str:
+    scrub = tx.duck_scrub_sql("etext")
+    toks = _DUCK_TOKS.replace("coalesce(text,'')", "etext")
+    score_cols = []
+    for lang in lx.LANG_PRIORITY:
+        lits = ", ".join("'" + w + "'" for w in lx.LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, "
+            f"x -> list_contains([{lits}], lower(x)))) AS DOUBLE) / len(toks) "
+            f"ELSE 0.0 END AS s_{lang}")
+    best = "greatest(" + ", ".join(f"s_{l}" for l in lx.LANG_PRIORITY) + ")"
+    return f"""
+WITH e AS (SELECT doc_id, {ENRICH_SQL} AS etext FROM documents),
+t AS (SELECT doc_id, etext, {toks} AS toks,
+             {tx.duck_rescan_count_sql(scrub)} AS residual_pii FROM e),
+m AS (SELECT doc_id, residual_pii,
+        CAST(len(toks) AS BIGINT) AS word_cnt,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS DOUBLE)
+            / len(toks) ELSE 0.0 END AS distinct_ratio,
+        CASE WHEN len(etext) > 0 THEN
+          CAST(len(regexp_replace(etext, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+            / len(etext) ELSE 0.0 END AS symbol_density,
+        {", ".join(score_cols)}
+      FROM t),
+g AS (SELECT doc_id, residual_pii,
+        CASE WHEN residual_pii = 0 THEN 'PASS'
+             WHEN residual_pii <= {lx.VERIFY_REVIEW_THRESHOLD} THEN 'REVIEW_REQUIRED'
+             ELSE 'FAIL' END AS qa_status,
+        (word_cnt >= {lx.QUALITY_MIN_WORDS}
+         AND word_cnt <= {lx.QUALITY_MAX_WORDS}
+         AND (word_cnt < {lx.QUALITY_DISTINCT_RATIO_MIN_WORDS}
+              OR distinct_ratio >= {lx.QUALITY_MIN_DISTINCT_RATIO})
+         AND symbol_density <= {lx.QUALITY_MAX_SYMBOL_DENSITY}) AS quality_ok,
+        {best} AS lang_conf
+      FROM m)
+SELECT doc_id, residual_pii, qa_status,
+       (quality_ok AND lang_conf >= {lx.LANGID_MIN_CONFIDENCE}
+        AND qa_status = 'PASS') AS keep
+FROM g
+"""
+
+
+def q_qa_status_histogram(spark, sf_dir):
+    """A1-style status histogram over the graded docs."""
+    return (q_keep_drop_grade(spark, sf_dir)
+            .groupBy("qa_status", "keep")
+            .agg(F.count(F.lit(1)).alias("n"))
+            )
+
+
+def _sql_qa_histogram() -> str:
+    return (f"SELECT qa_status, keep, CAST(count(*) AS BIGINT) AS n FROM "
+            f"({_sql_keep_drop()}) GROUP BY qa_status, keep")
+
+
+def q_pii_category_totals(spark, sf_dir):
+    """A2: corpus-wide per-category totals (explode-equivalent rollup)."""
+    df = q_scrub_counts(spark, sf_dir)
+    aggs = [F.sum(f"n_{c}").cast("bigint").alias(f"total_{c}")
+            for c in tx._STEP_CATEGORIES]
+    return df.agg(*aggs)
+
+
+def _sql_pii_totals() -> str:
+    inner = _sql_scrub_counts()
+    cols = ", ".join(f"CAST(sum(n_{c}) AS BIGINT) AS total_{c}"
+                     for c in tx._STEP_CATEGORIES)
+    return f"SELECT {cols} FROM ({inner})"
+
+
+# ---------------------------------------------------------------------------
+# generic relational capability (TPC-H-ish; scale-hardened shapes)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy agg with partial+final hash agg."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"),
+             F.sum("l_extendedprice").alias("sum_base_price"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("sum_disc_price"),
+             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+             F.count(F.lit(1)).alias("count_order"))
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_suppliers(spark, sf_dir):
+    """Broadcast-join star query: lineitem ⋈ supplier ⋈ nation, top-10 by
+    revenue. Dim tables are broadcast (no shuffle of the fact table)."""
+    li = _read(spark, sf_dir, "lineitem")
+    sup = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                .alias("revenue")))
+    return (rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+            .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+                    "s_name", F.col("n_name").alias("nation"), "revenue")
+            .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+            .limit(10))
+
+
+SQL_TOP_SUPPLIERS = """
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       n.n_name AS nation, r.revenue
+FROM (SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM lineitem GROUP BY l_suppkey) r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY r.revenue DESC, s.s_suppkey ASC
+LIMIT 10
+"""
+
+
+def q_events_minutely(spark, sf_dir):
+    """Tumbling-window aggregation over the events stream table (batch twin
+    of the Structured Streaming pipeline in streaming/)."""
+    ev = _read(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("minute", "ts").alias("minute"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value")))
+
+
+SQL_EVENTS_MINUTELY = """
+SELECT date_trunc('minute', ts) AS minute, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_lang_rollup(spark, sf_dir):
+    """ROLLUP(lang, source) — grouping-sets capability (SURVEY §2.4 note)."""
+    df = _read(spark, sf_dir, "documents")
+    return (df.rollup("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars")))
+
+
+SQL_LANG_ROLLUP = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / tokens / fingerprints
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: canonical = min doc_id per hash."""
+    df = _read(spark, sf_dir, "documents")
+    return (df.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+            .agg(F.min("doc_id").alias("canonical_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts per doc."""
+    df = _read(spark, sf_dir, "documents")
+    toks_ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                       lambda x: x != "")
+    return df.select(
+        "doc_id",
+        F.size(toks_ws).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                       F.lit(tx.BPE_TOKEN_PATTERN)).cast("bigint")
+        .alias("bpe_tokens"))
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST(len({_DUCK_TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(coalesce(text,'')),
+            '{tx.BPE_TOKEN_PATTERN}')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# full UDF pipeline (word-path + fuzzy semantics — not SQL-expressible;
+# driver records the weaker rows-only check, pytest holds the real oracle)
+# ---------------------------------------------------------------------------
+
+def clips_from_documents(spark, sf_dir, with_audio: bool = True):
+    """Derive a clips-shaped table (BASELINE input_hint) from the driver's
+    documents table: transcript = enriched text, audio = seeded WAV."""
+    from pyspark.sql import types as T
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(ENRICH_SQL).alias("transcript"))
+    df = docs.select(
+        F.format_string("clip_%08d", F.col("doc_id")).alias("clip_id"),
+        F.col("doc_id"),
+        F.lit(16000).alias("sr_hz"),
+        (F.pmod(F.col("doc_id") * 97, F.lit(1500)) + 300)
+        .cast("int").alias("dur_ms"),
+        F.lit("wav").alias("codec"),
+        "transcript")
+    if not with_audio:
+        return df.withColumn("bytes", F.lit(None).cast("binary")).drop("doc_id")
+
+    from .datagen import encode_wav, synth_pcm
+
+    @F.pandas_udf(T.BinaryType())
+    def gen_audio(doc_id: pd.Series, dur_ms: pd.Series) -> pd.Series:
+        return pd.Series(
+            [encode_wav(synth_pcm(int(i), int(d), 16000), 16000)
+             for i, d in zip(doc_id, dur_ms)])
+
+    return (df.withColumn("bytes", gen_audio(F.col("doc_id"), F.col("dur_ms")))
+            .drop("doc_id"))
+
+
+def q_pipeline_full(spark, sf_dir):
+    """Flagship: the complete detect→scrub→verify→grade pipeline (pandas
+    UDF word path + fuzzy layer + quality/langid/grade columns + audio
+    decode-verify) over the clips table."""
+    from .pipeline import PipelineConfig, apply_pipeline
+
+    clips = clips_from_documents(spark, sf_dir, with_audio=True)
+    out = apply_pipeline(clips, PipelineConfig())
+    return out.select(
+        "clip_id", "transcript", "scrubbed_text", "pii_count", "n_exact",
+        "n_fuzzy", "verify_pii_count", "qa_status", "keep", "lang",
+        F.round("lang_conf", 6).alias("lang_conf"), "word_cnt",
+        F.round("ppl", 6).alias("ppl"), "decode_ok", "n_samples")
+
+
+def q_wer_scrub_effect(spark, sf_dir):
+    """WER operator (reference src/wer_calculator.py): distance between
+    original and scrubbed text quantifies redaction impact."""
+    from .functions.wer import wer_udf
+
+    df = _docs_enriched(spark, sf_dir)
+    df = df.withColumn("scrubbed", tx.scrub_col(F.col("etext")))
+    df = df.withColumn("_w", wer_udf(F.col("etext"), F.col("scrubbed")))
+    return df.select(
+        "doc_id",
+        F.round("_w.wer", 6).alias("wer"),
+        F.col("_w.substitutions").cast("bigint").alias("substitutions"),
+        F.col("_w.reference_words").cast("bigint").alias("reference_words"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    "scrub_lexicon": (q_scrub_lexicon, SQL_SCRUB_LEXICON),
+    "scrub_counts": (q_scrub_counts, _sql_scrub_counts()),
+    "quality_flags": (q_quality_flags, SQL_QUALITY_FLAGS),
+    "langid_confidence": (q_langid_confidence, _sql_langid()),
+    "keep_drop_grade": (q_keep_drop_grade, _sql_keep_drop()),
+    "qa_status_histogram": (q_qa_status_histogram, _sql_qa_histogram()),
+    "pii_category_totals": (q_pii_category_totals, _sql_pii_totals()),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_suppliers": (q_top_suppliers, SQL_TOP_SUPPLIERS),
+    "events_minutely": (q_events_minutely, SQL_EVENTS_MINUTELY),
+    "lang_rollup": (q_lang_rollup, SQL_LANG_ROLLUP),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "pipeline_full": (q_pipeline_full, None),       # rows-only: fuzzy layer
+    "wer_scrub_effect": (q_wer_scrub_effect, None),  # rows-only: DP alignment
+}
