@@ -1,0 +1,132 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline metric = wall seconds of the full filter+scrub pipeline over the
+clips table (clips/sec reported alongside — the north-star throughput
+number). Clips input is materialized to parquet once (cached under
+.bench_cache/) so the measurement is scan→pipeline→agg, not datagen.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+AUDIO_ROWS = int(os.environ.get("BENCH_AUDIO_ROWS", "4000"))
+# replicate documents so the pipeline measurement is sustained throughput,
+# not fixed Spark overhead (5k docs × 20 = 100k clips by default)
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "20"))
+
+
+def materialize_clips(spark, sf_dir: str, cache_dir: Path) -> str:
+    """Clips-shaped input (text-only hot path; audio benched separately).
+    Documents are replicated REPLICATE× with fresh doc_ids so row content
+    stays deterministic while volume scales."""
+    from pyspark.sql import functions as F
+
+    from pii_redaction_pipeline_spark.queries import clips_from_documents
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = cache_dir / f"clips_{tag}_x{REPLICATE}"
+    if not (out / "_SUCCESS").exists():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.count()
+        reps = spark.range(REPLICATE).select(F.col("id").alias("rep"))
+        big = (docs.crossJoin(reps)
+               .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n)
+               .drop("rep"))
+        docs_dir = cache_dir / f"docs_{tag}_x{REPLICATE}"
+        big.write.mode("overwrite").parquet(str(docs_dir / "documents.parquet"))
+        clips_from_documents(spark, str(docs_dir), with_audio=False) \
+            .repartition(CPUS * 2) \
+            .write.mode("overwrite").parquet(str(out))
+    return str(out)
+
+
+def materialize_audio_clips(spark, n: int, cache_dir: Path) -> str:
+    from pii_redaction_pipeline_spark import datagen
+
+    out = cache_dir / f"clips_audio_{n}"
+    if not (out / "_SUCCESS").exists():
+        datagen.clips_df(spark, n, seed=42, partitions=CPUS) \
+            .write.mode("overwrite").parquet(str(out))
+    return str(out)
+
+
+def timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    from pii_redaction_pipeline_spark.pipeline import PipelineConfig, apply_pipeline
+    from pii_redaction_pipeline_spark.queries import QUERIES
+    from pii_redaction_pipeline_spark.session import get_spark
+
+    cache = REPO / ".bench_cache"
+    cache.mkdir(exist_ok=True)
+    spark = get_spark(app="bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+
+    clips_path = materialize_clips(spark, SF_DIR, cache)
+    audio_path = materialize_audio_clips(spark, AUDIO_ROWS, cache)
+
+    clips = spark.read.parquet(clips_path)
+    n_clips = clips.count()
+    timings: dict[str, float] = {}
+
+    # headline: full filter+scrub pipeline (text hot path), result count
+    # forces full evaluation; noop-agg avoids collect cost skew
+    def run_pipeline():
+        out = apply_pipeline(clips, PipelineConfig(with_audio_verify=False,
+                                                   salt_partitions=CPUS))
+        out.groupBy("qa_status", "keep").count().collect()
+
+    run_pipeline()  # warm-up (JIT, Python worker pool spin-up)
+    t_pipeline = timed(run_pipeline)
+    timings["pipeline_full_text"] = t_pipeline
+
+    # audio decode-verify stage throughput
+    aclips = spark.read.parquet(audio_path)
+    def run_audio():
+        out = apply_pipeline(aclips, PipelineConfig(with_ppl=False))
+        out.agg({"n_samples": "sum"}).collect()
+    timings["pipeline_with_audio"] = timed(run_audio)
+
+    # representative registry queries (JVM-only chain, joins, aggs, dedup)
+    for name in ["scrub_lexicon", "keep_drop_grade", "scrub_counts",
+                 "pricing_summary", "top_suppliers", "dedup_exact",
+                 "token_stats", "events_minutely", "minhash_signatures",
+                 "neardup_pairs_minhash", "simhash", "ann_cosine_topk",
+                 "doc_fingerprint"]:
+        fn, _ = QUERIES[name]
+        timings[name] = timed(lambda f=fn: f(spark, SF_DIR)
+                              .write.format("noop").mode("overwrite").save())
+
+    clips_per_sec = round(n_clips / t_pipeline, 1)
+    print(json.dumps({
+        "metric": "filter_scrub_pipeline_wall",
+        "value": t_pipeline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "n_clips": n_clips,
+        "clips_per_sec": clips_per_sec,
+        "cpus": CPUS,
+        "audio_rows": AUDIO_ROWS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

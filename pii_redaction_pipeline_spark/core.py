@@ -97,6 +97,14 @@ class Match:
     is_fuzzy: bool = False
 
 
+# first words of multi-word phrases: positions whose normalized token is
+# not in this set can only match single-word terms (fast path; the slow
+# path joins 4/3/2-word slices at every position like the reference)
+_MULTI_FIRST_WORDS = frozenset(
+    t.split()[0] for t in lx.PHRASE_TO_CATEGORY if " " in t
+)
+
+
 def exact_match(tokens: list[str], norm: list[str], matched: set[int]) -> list[Match]:
     """Longest-first exact phrase matching over normalized tokens with
     consumed-index skipping (reference src/pii_detector.py:173-241)."""
@@ -108,8 +116,12 @@ def exact_match(tokens: list[str], norm: list[str], matched: set[int]) -> list[M
         if i in matched:
             i += 1
             continue
-        for phrase_len in range(min(lx.MAX_PHRASE_LEN, n - i), 0, -1):
-            phrase = " ".join(norm[i: i + phrase_len])
+        if norm[i] not in _MULTI_FIRST_WORDS:
+            max_len = 1  # only a single-word term can start here
+        else:
+            max_len = lx.MAX_PHRASE_LEN
+        for phrase_len in range(min(max_len, n - i), 0, -1):
+            phrase = norm[i] if phrase_len == 1 else " ".join(norm[i: i + phrase_len])
             category = lx.PHRASE_TO_CATEGORY.get(phrase)
             if category is None:
                 continue
@@ -199,6 +211,18 @@ def fuzzy_match(tokens: list[str], norm: list[str], matched: set[int]) -> list[M
     return matches
 
 
+_NORM_CACHE: dict[str, str] = {}
+
+
+def _normalize_cached(token: str) -> str:
+    v = _NORM_CACHE.get(token)
+    if v is None:
+        v = normalize_word(token)
+        if len(_NORM_CACHE) < 2_000_000:
+            _NORM_CACHE[token] = v
+    return v
+
+
 def detect_words(text: str) -> tuple[list[str], list[Match]]:
     """Two-layer detection over whitespace tokens. Matches are returned in
     positional order (exact then fuzzy, sorted by first word index — the
@@ -206,7 +230,7 @@ def detect_words(text: str) -> tuple[list[str], list[Match]]:
     tokens = text.split()
     if not tokens:
         return [], []
-    norm = [normalize_word(t) for t in tokens]
+    norm = [_normalize_cached(t) for t in tokens]
     matched: set[int] = set()
     matches = exact_match(tokens, norm, matched)
     matches.extend(fuzzy_match(tokens, norm, matched))
@@ -265,17 +289,25 @@ def regex_scrub(text: str) -> tuple[str, dict[str, int]]:
 # --------------------------------------------------------------------------
 
 _TERM_PATTERNS = [
-    (re.compile(r"\b" + re.escape(t) + r"\b"), t, c) for t, c in lx.SORTED_TERMS
+    (re.compile(r"\b" + re.escape(t) + r"\b"), t, c, frozenset(t.split()))
+    for t, c in lx.SORTED_TERMS
 ]
+_WORD_RUN_RE = re.compile(r"[a-z]+")
 
 
 def detect_in_text(text: str) -> list[dict]:
     """Char-offset longest-first detection with overlap suppression
-    (reference src/pii_detector.py:355-406). Used for verification rescan."""
+    (reference src/pii_detector.py:355-406). Used for verification rescan.
+    Patterns whose constituent words are absent from the text's letter-run
+    token set are skipped — a pure pruning step (a \\b-bounded occurrence
+    requires each term word as a maximal letter run), same output."""
     matches: list[dict] = []
     text_lower = text.lower()
+    token_set = frozenset(_WORD_RUN_RE.findall(text_lower))
     matched_positions: set[int] = set()
-    for pat, term, category in _TERM_PATTERNS:
+    for pat, term, category, term_words in _TERM_PATTERNS:
+        if not term_words.issubset(token_set):
+            continue
         start = 0
         while True:
             # search on a slice (not pos offset) so \b at the slice start
@@ -306,10 +338,24 @@ def detect_in_text(text: str) -> list[dict]:
 # Verification grading
 # --------------------------------------------------------------------------
 
+# conservative prefilter for the rescan: a \b-bounded term occurrence
+# requires every constituent word to appear as a maximal letter run, so if
+# no token of the text is a lexicon word there can be no residual match.
+_ALL_TERM_WORDS = frozenset(w for t, _ in lx.SORTED_TERMS for w in t.split())
+_LETTER_RUN_RE = re.compile(r"[a-z]+")
+
+
 def verify_counts(scrubbed_text: str) -> tuple[int, int]:
     """(total, high-confidence) residual-PII counts in scrubbed text.
     Rescan matches are exact → confidence 1.0 → high-confidence. Label
-    self-matches are filtered like the reference (src/verifier.py:148-152)."""
+    self-matches are filtered like the reference (src/verifier.py:148-152).
+
+    Fast path: token-set ∩ lexicon-words empty ⟹ zero matches, skip the
+    full per-term scan (the common case — a fully scrubbed row has no
+    lexicon words left)."""
+    lower = scrubbed_text.lower()
+    if not _ALL_TERM_WORDS.intersection(_LETTER_RUN_RE.findall(lower)):
+        return 0, 0
     found = [
         p for p in detect_in_text(scrubbed_text)
         if not p["text"].startswith("[") and not p["text"].endswith("]")

@@ -50,6 +50,13 @@ def salted_repartition(df: DataFrame, n_partitions: int,
 
 def apply_pipeline(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     cfg = cfg or PipelineConfig()
+    # Arrow batch sizing: big batches amortize UDF overhead on the text
+    # path; small batches bound per-batch bytes when MB-scale audio rows
+    # flow through the decode UDF (SURVEY §4.3).
+    from .session import ARROW_BATCH_AUDIO, ARROW_BATCH_TEXT, set_arrow_batch
+    audio_on = cfg.with_audio_verify and "bytes" in df.columns
+    set_arrow_batch(df.sparkSession,
+                    ARROW_BATCH_AUDIO if audio_on else ARROW_BATCH_TEXT)
     if cfg.salt_partitions:
         df = salted_repartition(df, cfg.salt_partitions)
     df = with_quality(df, cfg.text_col)   # pure Column exprs (codegen)

@@ -379,6 +379,66 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# dedup / similarity (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_minhash_signatures(spark, sf_dir):
+    from .functions.dedup import spark_minhash_signatures
+    return spark_minhash_signatures(_read(spark, sf_dir, "documents"))
+
+
+def q_neardup_pairs_minhash(spark, sf_dir):
+    from .functions.dedup import spark_lsh_pairs
+    return spark_lsh_pairs(_read(spark, sf_dir, "documents"))
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from .functions.dedup import spark_jaccard_pairs
+    return spark_jaccard_pairs(_read(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark, sf_dir):
+    from .functions.dedup import spark_simhash
+    return spark_simhash(_read(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from .functions.similarity import spark_cosine_topk
+    return spark_cosine_topk(_read(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from .functions.similarity import spark_neardup_pairs
+    return spark_neardup_pairs(_read(spark, sf_dir, "embeddings"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing-lite document fingerprint: min md5 over 5-word windows.
+    Token array is materialized once per row (inlining it into the window
+    lambda makes interpreted HOF evaluation re-split the text per window
+    — 10× slower at sf0.1)."""
+    df = _read(spark, sf_dir, "documents")
+    df = df.withColumn(
+        "toks", F.expr("filter(split(coalesce(text,''), '\\\\s+'), x -> x != '')"))
+    expr = ("CASE WHEN size(toks) >= 5 THEN "
+            "array_min(transform(sequence(1, size(toks) - 4), "
+            "i -> md5(concat_ws(' ', slice(toks, i, 5))))) "
+            "ELSE md5(concat_ws(' ', toks)) END")
+    return df.select("doc_id", F.expr(expr).alias("fingerprint"))
+
+
+_DUCK_FP_TOKS = _DUCK_TOKS
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id,
+  CASE WHEN len({_DUCK_FP_TOKS}) >= 5 THEN
+    list_min(list_transform(generate_series(1, len({_DUCK_FP_TOKS}) - 4),
+      i -> md5(array_to_string(({_DUCK_FP_TOKS})[i:i+4], ' '))))
+  ELSE md5(array_to_string({_DUCK_FP_TOKS}, ' ')) END AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # full UDF pipeline (word-path + fuzzy semantics — not SQL-expressible;
 # driver records the weaker rows-only check, pytest holds the real oracle)
 # ---------------------------------------------------------------------------
@@ -464,3 +524,26 @@ QUERIES: dict[str, tuple] = {
     "pipeline_full": (q_pipeline_full, None),       # rows-only: fuzzy layer
     "wer_scrub_effect": (q_wer_scrub_effect, None),  # rows-only: DP alignment
 }
+
+
+def _register_dedup_similarity() -> None:
+    from .functions.dedup import (
+        duck_jaccard_pairs_sql,
+        duck_lsh_pairs_sql,
+        duck_minhash_sql,
+        duck_simhash_sql,
+    )
+    from .functions.similarity import duck_cosine_topk_sql, duck_neardup_pairs_sql
+
+    QUERIES.update({
+        "minhash_signatures": (q_minhash_signatures, duck_minhash_sql()),
+        "neardup_pairs_minhash": (q_neardup_pairs_minhash, duck_lsh_pairs_sql()),
+        "jaccard_pairs": (q_jaccard_pairs, duck_jaccard_pairs_sql()),
+        "simhash": (q_simhash, duck_simhash_sql()),
+        "ann_cosine_topk": (q_ann_cosine_topk, duck_cosine_topk_sql()),
+        "embedding_neardup": (q_embedding_neardup, duck_neardup_pairs_sql()),
+        "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    })
+
+
+_register_dedup_similarity()

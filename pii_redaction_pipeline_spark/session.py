@@ -18,7 +18,16 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 256
+# Default Arrow batch: safe middle ground. The pipeline overrides per run:
+# text-only → ARROW_BATCH_TEXT (UDF throughput), audio present →
+# ARROW_BATCH_AUDIO (bounds batch bytes with MB-scale binary rows).
+ARROW_BATCH_ROWS = 1024
+ARROW_BATCH_TEXT = 8192
+ARROW_BATCH_AUDIO = 256
+
+
+def set_arrow_batch(spark, rows: int) -> None:
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(rows))
 
 
 def get_spark(app: str = "pii_scrub", master: str | None = None,

@@ -1,0 +1,118 @@
+"""Table IO seam + per-partition lineage + checkpoint-resume.
+
+North rule: "write results back to Iceberg with per-partition lineage +
+metrics rows enabling checkpoint-resume of partially completed runs."
+The reference lists exactly this as future work (NOTES.md:42 "Incremental
+processing - skip already-processed files").
+
+Design (Iceberg-first, parquet fallback — SURVEY §7.3.4):
+  - The unit of work is a *bucket*: pmod(hash(clip_id), n_buckets). Rows
+    are bucketed deterministically, so a bucket is a stable, idempotent
+    partition of the input regardless of cluster size.
+  - Results land in a table partitioned by `bucket`. With Iceberg this is
+    `writeTo(...).overwritePartitions()` (atomic snapshot per run); on the
+    parquet fallback it is dynamic partition overwrite — a re-processed
+    bucket replaces its own files only.
+  - After the results job commits, one lineage row per completed bucket is
+    appended (run_id, bucket, n_rows, n_kept, n_errors, elapsed_ms, DONE).
+  - Resume = anti-join: buckets with a DONE lineage row are skipped; only
+    unfinished buckets are read (partition pruning on the input side when
+    the source is bucket-partitioned) and re-processed. A bucket that was
+    half-written but never recorded DONE is simply overwritten — so a
+    killed run never duplicates or loses rows.
+
+This module is pure job logic — no custom Catalyst rules (SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "bucket"
+
+
+def with_bucket(df: DataFrame, n_buckets: int, key: str = "clip_id") -> DataFrame:
+    return df.withColumn(
+        BUCKET_COL, F.pmod(F.hash(F.col(key)), F.lit(n_buckets)).cast("int"))
+
+
+class ResumableRun:
+    """Checkpoint-resumable pipeline execution over bucketed input."""
+
+    def __init__(self, spark: SparkSession, out_dir: str, n_buckets: int = 64):
+        self.spark = spark
+        self.out = Path(out_dir)
+        self.n_buckets = n_buckets
+        self.results_path = str(self.out / "results")
+        self.lineage_path = str(self.out / "lineage")
+
+    # -- lineage ------------------------------------------------------------
+
+    def done_buckets(self) -> set[int]:
+        if not Path(self.lineage_path).exists():
+            return set()
+        rows = (self.spark.read.parquet(self.lineage_path)
+                .where(F.col("status") == "DONE")
+                .select(BUCKET_COL).distinct().collect())
+        return {r[BUCKET_COL] for r in rows}
+
+    def _append_lineage(self, run_id: str, stats: DataFrame, elapsed_ms: int):
+        (stats
+         .withColumn("run_id", F.lit(run_id))
+         .withColumn("elapsed_ms", F.lit(elapsed_ms).cast("long"))
+         .withColumn("status", F.lit("DONE"))
+         .select("run_id", BUCKET_COL, "n_rows", "n_kept", "n_errors",
+                 "elapsed_ms", "status")
+         .write.mode("append").parquet(self.lineage_path))
+
+    # -- execution ----------------------------------------------------------
+
+    def run(self, clips: DataFrame, process_fn, max_buckets: int | None = None,
+            run_id: str | None = None) -> dict:
+        """Process all not-yet-DONE buckets. `max_buckets` caps how many
+        buckets this invocation completes (used by tests to simulate a
+        killed run; on a cluster it bounds one spark-submit's work)."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        done = self.done_buckets()
+        pending = [b for b in range(self.n_buckets) if b not in done]
+        if max_buckets is not None:
+            pending = pending[:max_buckets]
+        if not pending:
+            return {"run_id": run_id, "processed_buckets": 0,
+                    "skipped_buckets": len(done)}
+
+        t0 = time.time()
+        bucketed = with_bucket(clips, self.n_buckets)
+        todo = bucketed.where(F.col(BUCKET_COL).isin(pending))
+        results = process_fn(todo)
+
+        (results.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(BUCKET_COL)
+         .parquet(self.results_path))
+
+        elapsed_ms = int((time.time() - t0) * 1000)
+        # metrics from the committed table (not the plan) → lineage reflects
+        # what is actually on disk
+        written = (self.spark.read.parquet(self.results_path)
+                   .where(F.col(BUCKET_COL).isin(pending)))
+        agg = [F.count(F.lit(1)).alias("n_rows")]
+        agg.append((F.sum(F.col("keep").cast("long")) if "keep" in results.columns
+                    else F.lit(0)).alias("n_kept"))
+        agg.append((F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+                    if "error" in results.columns else F.lit(0)).alias("n_errors"))
+        stats = written.groupBy(BUCKET_COL).agg(*agg)
+        self._append_lineage(run_id, stats, elapsed_ms)
+        return {"run_id": run_id, "processed_buckets": len(pending),
+                "skipped_buckets": len(done), "elapsed_ms": elapsed_ms}
+
+    def results(self) -> DataFrame:
+        return self.spark.read.parquet(self.results_path)
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self.lineage_path)

@@ -1,0 +1,98 @@
+"""Two-cluster-size scaling evidence (north rule: throughput efficiency
+≥0.8 between N and 4N executors; sandbox proxy per driver instruction:
+the same job at local[8] and local[32] on identical input).
+
+Writes BENCH/BASELINE.md with throughput at both levels + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+LEVELS = [8, 32]
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "20"))
+
+
+def run_at(cpus: int, clips_path: str) -> dict:
+    from pii_redaction_pipeline_spark.pipeline import PipelineConfig, apply_pipeline
+    from pii_redaction_pipeline_spark.session import get_spark
+
+    spark = get_spark(app=f"scale{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    clips = spark.read.parquet(clips_path)
+    n = clips.count()
+
+    def job():
+        out = apply_pipeline(clips, PipelineConfig(with_audio_verify=False,
+                                                   salt_partitions=cpus))
+        out.groupBy("qa_status", "keep").count().collect()
+
+    job()  # warm-up: JIT + python worker pool
+    t0 = time.time()
+    job()
+    wall = time.time() - t0
+    spark.stop()
+    return {"cpus": cpus, "n_clips": n, "wall_s": round(wall, 2),
+            "clips_per_sec": round(n / wall, 1)}
+
+
+def main() -> None:
+    import bench as bench_mod
+    from pii_redaction_pipeline_spark.session import get_spark
+
+    cache = REPO / ".bench_cache"
+    cache.mkdir(exist_ok=True)
+    prep = get_spark(app="prep", master="local[32]")
+    bench_mod.REPLICATE = REPLICATE
+    clips_path = bench_mod.materialize_clips(prep, SF_DIR, cache)
+    prep.stop()
+
+    results = [run_at(c, clips_path) for c in LEVELS]
+    lo, hi = results[0], results[-1]
+    speedup = hi["clips_per_sec"] / lo["clips_per_sec"]
+    ideal = hi["cpus"] / lo["cpus"]
+    efficiency = round(speedup / ideal, 3)
+
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    md = f"""# BENCH — scaling evidence (two-parallelism proxy for N vs 4N executors)
+
+Generated {stamp} by `python scaling_bench.py` on `{SF_DIR}`
+(documents replicated ×{REPLICATE} into a clips table; identical input at
+both levels; full filter+scrub pipeline: quality/langid columns +
+detect_and_scrub pandas UDF + grade + status agg; measurement is the 2nd
+run per session — warm JIT and Python workers).
+
+| parallelism | clips | wall (s) | clips/sec |
+|---|---|---|---|
+| local[{lo['cpus']}] | {lo['n_clips']} | {lo['wall_s']} | {lo['clips_per_sec']} |
+| local[{hi['cpus']}] | {hi['n_clips']} | {hi['wall_s']} | {hi['clips_per_sec']} |
+
+**Speedup {lo['cpus']}→{hi['cpus']} cores: {speedup:.2f}× (ideal {ideal:.0f}×) →
+scaling efficiency {efficiency}** (north-rule target ≥ 0.8).
+
+Raw: `{json.dumps(results)}`
+
+Why this scales: the hot path is row-local (no shuffle except the explicit
+salted repartition), the scrub UDF is Arrow-batched with per-worker
+memoization, quality/langid/grading are whole-stage-codegen column
+expressions, and skew is neutralized by hash-salting on clip_id before
+the Python stage. On a real cluster the same plan shape holds: N→4N
+executors multiply Arrow batch lanes with no added exchanges.
+"""
+    (bench_dir / "BASELINE.md").write_text(md)
+    print(json.dumps({"levels": results, "efficiency": efficiency}))
+
+
+if __name__ == "__main__":
+    main()
