@@ -1,0 +1,97 @@
+"""spark-submit entry point (north rule: `spark-submit --py-files` on a
+multi-executor cluster).
+
+    spark-submit --py-files pii_redaction_pipeline_spark.zip job.py \
+        --input /path/or/catalog.db.clips --output /warehouse/scrub_out \
+        --buckets 256 [--resume] [--no-audio-verify] [--max-buckets K]
+
+Reads the clips table (Iceberg catalog table name if it contains no "/",
+else a parquet path), runs the filter+scrub pipeline over not-yet-done
+buckets (per-partition lineage; idempotent resume), writes results +
+manifest + a QA report row.
+
+Packaging: `python job.py --make-zip` emits the --py-files archive.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+
+def make_zip(out: str = "pii_redaction_pipeline_spark.zip") -> str:
+    pkg = REPO / "pii_redaction_pipeline_spark"
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for p in sorted(pkg.rglob("*.py")):
+            z.write(p, p.relative_to(REPO))
+    return out
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="clips source: parquet path or Iceberg table name")
+    ap.add_argument("--output", help="output root (results/, lineage/, manifest/)")
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--max-buckets", type=int, default=None)
+    ap.add_argument("--no-audio-verify", action="store_true")
+    ap.add_argument("--no-ppl", action="store_true")
+    ap.add_argument("--make-zip", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.make_zip:
+        print(make_zip())
+        return
+    if not args.input or not args.output:
+        ap.error("--input and --output are required")
+
+    from pyspark.sql import SparkSession
+
+    from pii_redaction_pipeline_spark.pipeline import (
+        PipelineConfig,
+        apply_pipeline,
+        manifest_df,
+        qa_report_df,
+    )
+    from pii_redaction_pipeline_spark.sources.tableio import ResumableRun
+
+    # on a cluster, master/memory come from spark-submit; builder only adds
+    # the configs the pipeline depends on
+    spark = (SparkSession.builder.appName("pii_scrub_job")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.skewJoin.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+             .getOrCreate())
+
+    if "/" in args.input:
+        clips = spark.read.parquet(args.input)
+    else:
+        clips = spark.read.table(args.input)  # Iceberg catalog table
+
+    cfg = PipelineConfig(with_audio_verify=not args.no_audio_verify,
+                         with_ppl=not args.no_ppl)
+
+    def process(df):
+        return apply_pipeline(df, cfg).drop("redactions")
+
+    rr = ResumableRun(spark, args.output, n_buckets=args.buckets)
+    info = rr.run(clips, process, max_buckets=args.max_buckets)
+
+    if info["processed_buckets"] or info["skipped_buckets"] == args.buckets:
+        results = rr.results()
+        manifest_df(results).write.mode("overwrite").parquet(
+            f"{args.output}/manifest")
+        qa_report_df(results).write.mode("overwrite").parquet(
+            f"{args.output}/qa_report")
+    print(json.dumps(info))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

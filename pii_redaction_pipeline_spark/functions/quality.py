@@ -54,15 +54,20 @@ def with_quality(df, text_col: str = "transcript"):
 
 def with_langid(df, text_col: str = "transcript"):
     """lang + lang_conf columns via stopword-hit ratios (fastText-style
-    confidence proxy; ties break in LANG_PRIORITY order like core.langid)."""
+    confidence proxy; ties break in LANG_PRIORITY order like core.langid).
+
+    Membership uses `x IN (...)` (compiles to InSet — hashed, codegen)
+    rather than array_contains over a literal array, which interpreted
+    HOF evaluation rebuilds per element."""
     if _TOKENS not in df.columns:
         df = df.withColumn(_TOKENS, _tokens(F.col(text_col)))
-    toks_lower = F.transform(F.col(_TOKENS), F.lower)
     n = F.size(F.col(_TOKENS))
     scores = {}
     for lang in lx.LANG_PRIORITY:
-        stop = F.array(*[F.lit(w) for w in lx.LANG_STOPWORDS[lang]])
-        hits = F.size(F.filter(toks_lower, lambda x: F.array_contains(stop, x)))
+        lits = ", ".join("'" + w + "'" for w in lx.LANG_STOPWORDS[lang])
+        hits = F.expr(
+            f"size(filter(transform({_TOKENS}, x -> lower(x)), "
+            f"x -> x IN ({lits})))")
         scores[lang] = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
     best = F.greatest(*scores.values())
     lang_expr = F.when(best < lx.LANGID_MIN_CONFIDENCE, F.lit("und"))

@@ -1,0 +1,65 @@
+"""QA accuracy harness (reference scripts/calculate_accuracy.py →
+results ⋈ golden equi-join + WER UDF + aggregate)."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from pii_redaction_pipeline_spark import core, datagen
+from pii_redaction_pipeline_spark.functions.wer import (
+    batch_wer,
+    clean_human_transcript,
+    wer_udf,
+)
+from pyspark.sql import functions as F
+
+
+def make_human_ref(pdf: pd.DataFrame) -> pd.DataFrame:
+    """FIXTURES §3: transcripts with timestamp/speaker/tag noise the
+    cleaner must strip (reference scripts/calculate_accuracy.py:15-27)."""
+    rows = []
+    for i, row in enumerate(pdf.itertuples()):
+        text = row.transcript
+        noisy = f"[{i}.340] <Speaker_1> {text} <no-speech>"
+        rows.append((row.clip_id, noisy))
+    return pd.DataFrame(rows, columns=["clip_id", "human_text"])
+
+
+def test_clean_human_transcript():
+    assert clean_human_transcript(
+        "[12.340] <Speaker_1> hello there <no-speech>") == "hello there"
+
+
+def test_batch_wer_identical_after_cleaning(spark):
+    pdf = datagen.clips_pandas(80, seed=9, with_audio=False)
+    results = spark.createDataFrame(pdf[["clip_id", "transcript"]])
+    golden = spark.createDataFrame(make_human_ref(pdf))
+    golden = golden.withColumn(
+        "human_text",
+        F.regexp_replace(F.regexp_replace("human_text", r"\[[\d.]+\]", " "),
+                         r"<[^>]*>", " "))
+    agg = batch_wer(results, golden).collect()[0]
+    # cleaned human text == ASR text modulo whitespace → WER 0
+    assert agg["aggregate_wer"] == 0.0 or math.isnan(agg["aggregate_wer"])
+    assert agg["num_samples"] == 80
+
+
+def test_wer_udf_matches_core(spark):
+    pairs = [
+        ("I visited Houston Texas on Monday", "I visited Huston Texas on Munday"),
+        ("the quick brown fox", "the quick brown fox"),
+        ("a b c d", "a b d"),
+        ("", "something here"),
+    ]
+    df = spark.createDataFrame(pairs, ["ref", "hyp"])
+    rows = df.withColumn("w", wer_udf("ref", "hyp")).select("ref", "hyp", "w.*").collect()
+    for r in rows:
+        exp = core.wer(r["ref"], r["hyp"])
+        assert r["substitutions"] == exp["substitutions"]
+        assert r["insertions"] == exp["insertions"]
+        assert r["deletions"] == exp["deletions"]
+        if math.isinf(exp["wer"]):
+            assert math.isinf(r["wer"])
+        else:
+            assert math.isclose(r["wer"], exp["wer"], rel_tol=1e-12)
