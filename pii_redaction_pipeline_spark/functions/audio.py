@@ -101,6 +101,39 @@ def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
     return 10.0 * np.log10(p_sig / p_err)
 
 
+def with_bleeped_audio(df, spans_col: str = "bleep_spans",
+                       bytes_col: str = "bytes"):
+    """Flag-gated audio-scrub operator (reference src/audio_redactor.py,
+    optional per the north rule — the scored path carries bytes
+    untouched): decode → splice bleeps over (start_s, end_s) spans →
+    re-encode WAV. Spans come from word timestamps when the source has
+    them; rows with no spans pass through byte-identical."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..datagen import encode_wav
+
+    @pandas_udf(T.BinaryType())
+    def bleep_udf(payload: pd.Series, spans: pd.Series) -> pd.Series:
+        out = []
+        for buf, sp in zip(payload, spans):
+            if buf is None or sp is None or len(sp) == 0:
+                out.append(buf)
+                continue
+            try:
+                pcm, sr = decode_wav_bytes(bytes(buf))
+                redacted = apply_bleeps(
+                    pcm, sr, [(float(s["start_s"]), float(s["end_s"]))
+                              for s in sp])
+                out.append(encode_wav(redacted, sr))
+            except Exception:
+                out.append(buf)  # continue-on-error: pass through
+        return pd.Series(out)
+
+    return df.withColumn("bleeped_bytes",
+                         bleep_udf(F.col(bytes_col), F.col(spans_col)))
+
+
 # --- optional bleep operator (reference src/audio_redactor.py) -------------
 
 def generate_bleep_tone(duration_s: float, sample_rate: int,

@@ -86,6 +86,22 @@ def manifest_df(results: DataFrame) -> DataFrame:
     )
 
 
+def deid_json_df(results: DataFrame) -> DataFrame:
+    """Redacted-transcript JSON sink shape (reference S4/S5,
+    src/pipeline.py:206-222 + text_redactor to_dict :36-67): one JSON
+    document per clip as a column — file-per-row becomes rows-in-table,
+    written wherever the caller points `.write`."""
+    return results.select(
+        "clip_id",
+        F.to_json(F.struct(
+            F.col("clip_id").alias("conversation_id"),
+            F.col("transcript").alias("original_text"),
+            F.col("scrubbed_text").alias("redacted_text"),
+            F.col("redactions"),
+            F.col("pii_count"),
+        )).alias("deid_json"))
+
+
 def qa_report_df(results: DataFrame) -> DataFrame:
     """Job-level QA aggregate (reference src/pipeline.py:300-341):
     one hash-agg pass, partial+final for free."""
