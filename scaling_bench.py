@@ -90,8 +90,8 @@ run per session — warm JIT and Python workers).
 | local[{lo['cpus']}] | {lo['n_clips']} | {lo['wall_s']} | {lo['clips_per_sec']} |
 | local[{hi['cpus']}] | {hi['n_clips']} | {hi['wall_s']} | {hi['clips_per_sec']} |
 
-**N→4N efficiency (local[{lo['cpus']}]→local[{hi['cpus']}], the
-uncontended pair): {efficiency}** (north-rule target ≥ 0.8).
+**N→4N efficiency (local[{lo['cpus']}]→local[{hi['cpus']}]):
+{efficiency}** (north-rule target ≥ 0.8).
 
 All level pairs: `{json.dumps(pairs)}`
 

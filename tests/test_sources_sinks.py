@@ -57,8 +57,8 @@ def test_deid_json_sink(spark):
 
 
 def test_bleep_operator_end_to_end(spark):
-    clips = datagen.clips_df(spark, 8, seed=8, partitions=2)
-    clips = clips.where("codec = 'wav' AND dur_ms > 1200")
+    clips = datagen.clips_df(spark, 60, seed=8, partitions=2)
+    clips = clips.where("codec = 'wav' AND dur_ms > 1200").limit(8)
     spans = F.array(F.struct(F.lit(0.2).alias("start_s"),
                              F.lit(0.5).alias("end_s")))
     df = with_bleeped_audio(clips.withColumn("bleep_spans", spans))
