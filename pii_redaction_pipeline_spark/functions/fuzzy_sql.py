@@ -1,0 +1,124 @@
+"""SQL-expressible twin of the fuzzy matching layer.
+
+The word-path fuzzy matcher lives in core.py (inside the pandas UDF);
+this module re-expresses the same semantics relationally so an
+independent engine can verify them: normalize token → gate (blacklist,
+length) → join against the candidate term list with Levenshtein ≤ 2 and
+the reference's exact gates → keep the min-distance, first-in-term-order
+candidate (reference src/pii_detector.py:243-353).
+
+Both emitters are generated from the same lexicon constants. The Spark
+side is pure JVM (built-in levenshtein, broadcast candidate dim, window
+min) — it is also the scale path for vocabulary-level fuzzy matching:
+dedupe tokens first (the vocabulary is tiny vs the corpus), match the
+vocabulary, then map results back — never per-row fuzzy at 10^12 scale.
+
+Normalization here mirrors core.normalize_word exactly: lowercase,
+strip ASCII 's, rtrim punctuation, ltrim quotes, lexicon-gated
+de-pluralization (tests assert equality against core on the fixture
+vocabulary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import lexicon as lx
+
+# candidate dim: single-word terms len>=5 in reference priority order
+CANDIDATES: list[tuple[str, str, int]] = [
+    (t, c, i) for i, (t, c) in enumerate(lx.FUZZY_CANDIDATE_TERMS)
+]
+
+
+def _quoted(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+_GATE_IN = _quoted(sorted(lx.PLURAL_GATE_TERMS))
+_BLACKLIST_IN = _quoted(sorted(lx.FUZZY_BLACKLIST))
+
+# normalization chain (same ops/order as core.normalize_word), emitted as
+# a SQL expression over a column named `w`; valid in Spark SQL and DuckDB
+_NORM_STEPS = (
+    "regexp_replace(regexp_replace(regexp_replace("
+    "lower(w), '''s$', ''), '[.,!?;:\"'']+$', ''), '^[\"'']+', '')"
+)
+
+
+def norm_sql(col: str = "w") -> str:
+    base = _NORM_STEPS.replace("lower(w)", f"lower({col})")
+    return (
+        f"CASE WHEN {base} LIKE '%s' AND {base} NOT LIKE '%ss' "
+        f"AND length({base}) > 3 "
+        f"AND substr({base}, 1, length({base}) - 1) IN ({_GATE_IN}) "
+        f"THEN substr({base}, 1, length({base}) - 1) ELSE {base} END"
+    )
+
+
+def candidates_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(CANDIDATES, ["term", "category", "ord"])
+
+
+def spark_fuzzy_vocab(docs: DataFrame, spark: SparkSession) -> DataFrame:
+    """(token → best fuzzy term) over the corpus vocabulary. Pure JVM:
+    distinct-token vocab, broadcast candidate dim, levenshtein join with
+    the reference gates, window min by (distance, term order)."""
+    toks = docs.select(F.explode(
+        F.expr("filter(split(coalesce(text,''), '\\\\s+'), x -> x != '')")
+    ).alias("w"))
+    vocab = (toks.select(F.expr(norm_sql("w")).alias("token")).distinct()
+             .where(f"length(token) >= 5 AND token NOT IN ({_BLACKLIST_IN})"))
+    cand = F.broadcast(candidates_df(spark))
+    j = vocab.join(cand, F.abs(F.length("token") - F.length("term")) <= 2)
+    d = F.levenshtein("token", "term")
+    j = (j.withColumn("distance", d)
+         .where((F.col("distance") >= 1) & (F.col("distance") <= 2))
+         .where(~((F.col("distance") == 2) & (F.length("token") < 7)))
+         .where(F.col("distance") / F.greatest(F.length("token"), F.length("term")) <= 0.25))
+    w = Window.partitionBy("token").orderBy("distance", "ord")
+    raw_conf = (F.lit(1.0) - F.col("distance").cast("double")
+                / F.greatest(F.length("token"), F.length("term")))
+    best = (j.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+            .where(raw_conf >= lx.FUZZY_MIN_CONFIDENCE)  # filter unrounded
+            .withColumn("confidence", F.round(raw_conf, 6)))
+    return best.select("token", F.col("term").alias("matched_term"),
+                       "category", F.col("distance").cast("bigint").alias("distance"),
+                       "confidence")
+
+
+def duck_fuzzy_vocab_sql(text_expr: str = "coalesce(text,'')") -> str:
+    values = ", ".join(f"('{t}', '{c}', {i})" for t, c, i in CANDIDATES)
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex({text_expr}, '\\s+'),
+                x -> x <> '')) AS w FROM documents
+), vocab AS (
+  SELECT DISTINCT {norm_sql('w')} AS token FROM toks
+), gated AS (
+  SELECT token FROM vocab
+  WHERE length(token) >= 5 AND token NOT IN ({_BLACKLIST_IN})
+), cand(term, category, ord) AS (VALUES {values}),
+joined AS (
+  SELECT g.token, c.term, c.category, c.ord,
+         levenshtein(g.token, c.term) AS distance
+  FROM gated g JOIN cand c
+    ON abs(length(g.token) - length(c.term)) <= 2
+), filtered AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY token ORDER BY distance, ord) AS rn
+  FROM joined
+  WHERE distance BETWEEN 1 AND 2
+    AND NOT (distance = 2 AND length(token) < 7)
+    AND CAST(distance AS DOUBLE) / greatest(length(token), length(term)) <= 0.25
+)
+SELECT token, term AS matched_term, category,
+       CAST(distance AS BIGINT) AS distance,
+       round(1.0 - CAST(distance AS DOUBLE)
+             / greatest(length(token), length(term)), 6) AS confidence
+FROM filtered
+WHERE rn = 1
+  AND 1.0 - CAST(distance AS DOUBLE)
+      / greatest(length(token), length(term)) >= {lx.FUZZY_MIN_CONFIDENCE}
+"""

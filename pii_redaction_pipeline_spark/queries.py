@@ -35,6 +35,7 @@ ENRICH_SQL = (
     "WHEN 5 THEN 'she moved to Greenville in January' "
     "WHEN 6 THEN 'Salt Lake City and Corpus Christi are far apart' "
     "WHEN 7 THEN 'the sky was blue and the leaves turned orange' "
+    "WHEN 8 THEN 'huston and febuary were typos and phenix too' "
     "ELSE 'plain filler with nothing of note' END)"
 )
 
@@ -412,6 +413,17 @@ def q_embedding_neardup(spark, sf_dir):
     return spark_neardup_pairs(_read(spark, sf_dir, "embeddings"))
 
 
+def q_fuzzy_vocab(spark, sf_dir):
+    """Vocabulary-level fuzzy matcher (the scale path for the fuzzy layer:
+    dedupe tokens → match vocabulary → map back), JVM levenshtein +
+    broadcast candidates, verified against DuckDB's levenshtein.
+    Runs on enriched text so typo clauses make the check discriminating."""
+    from .functions.fuzzy_sql import spark_fuzzy_vocab
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(ENRICH_SQL).alias("text"))
+    return spark_fuzzy_vocab(docs, spark)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Winnowing-lite document fingerprint: min md5 over 5-word windows.
     Token array is materialized once per row (inlining it into the window
@@ -533,9 +545,11 @@ def _register_dedup_similarity() -> None:
         duck_minhash_sql,
         duck_simhash_sql,
     )
+    from .functions.fuzzy_sql import duck_fuzzy_vocab_sql
     from .functions.similarity import duck_cosine_topk_sql, duck_neardup_pairs_sql
 
     QUERIES.update({
+        "fuzzy_vocab": (q_fuzzy_vocab, duck_fuzzy_vocab_sql(ENRICH_SQL)),
         "minhash_signatures": (q_minhash_signatures, duck_minhash_sql()),
         "neardup_pairs_minhash": (q_neardup_pairs_minhash, duck_lsh_pairs_sql()),
         "jaccard_pairs": (q_jaccard_pairs, duck_jaccard_pairs_sql()),
