@@ -89,7 +89,7 @@ def main() -> None:
     # forces full evaluation; noop-agg avoids collect cost skew
     def run_pipeline():
         out = apply_pipeline(clips, PipelineConfig(with_audio_verify=False,
-                                                   salt_partitions=CPUS))
+                                                   salt_partitions=CPUS * 8))
         out.groupBy("qa_status", "keep").count().collect()
 
     run_pipeline()  # warm-up 1: JIT

@@ -111,18 +111,21 @@ def exact_match(tokens: list[str], norm: list[str], matched: set[int]) -> list[M
     matches: list[Match] = []
     n = len(tokens)
     full_text: str | None = None
+    phrase_cat = lx.PHRASE_TO_CATEGORY
+    multi_first = _MULTI_FIRST_WORDS
     i = 0
     while i < n:
         if i in matched:
             i += 1
             continue
-        if norm[i] not in _MULTI_FIRST_WORDS:
-            max_len = 1  # only a single-word term can start here
-        else:
-            max_len = lx.MAX_PHRASE_LEN
+        w = norm[i]
+        if w not in multi_first and w not in phrase_cat:
+            i += 1  # fast path: no term can start here
+            continue
+        max_len = lx.MAX_PHRASE_LEN if w in multi_first else 1
         for phrase_len in range(min(max_len, n - i), 0, -1):
-            phrase = norm[i] if phrase_len == 1 else " ".join(norm[i: i + phrase_len])
-            category = lx.PHRASE_TO_CATEGORY.get(phrase)
+            phrase = w if phrase_len == 1 else " ".join(norm[i: i + phrase_len])
+            category = phrase_cat.get(phrase)
             if category is None:
                 continue
             if phrase == "may":
@@ -268,13 +271,21 @@ def redact_tokens(tokens: list[str], matches: list[Match]) -> str:
 
 _REGEX_SCRUB = [(cat, re.compile(pat)) for cat, pat in lx.REGEX_SCRUB_ORDER]
 _TOXIC_RE = re.compile(r"\b(" + "|".join(lx.TOXICITY_WORDS) + r")\b", re.IGNORECASE)
+_DIGIT_RE = re.compile(r"\d")
 
 
 def regex_scrub(text: str) -> tuple[str, dict[str, int]]:
     """Apply email→ssn→phone→toxic replacements; returns scrubbed text and
-    per-category replacement counts. Applied *after* lexicon redaction."""
+    per-category replacement counts. Applied *after* lexicon redaction.
+    Cheap gates: email needs '@', ssn/phone need a digit — same result,
+    skips three full-text regex passes on the common clean row."""
     counts: dict[str, int] = {}
+    has_digit = _DIGIT_RE.search(text) is not None
     for cat, pat in _REGEX_SCRUB:
+        if cat == "email" and "@" not in text:
+            continue
+        if cat in ("ssn", "phone") and not has_digit:
+            continue
         text, n = pat.subn(lx.CATEGORY_LABELS[cat], text)
         if n:
             counts[cat] = n
@@ -338,11 +349,23 @@ def detect_in_text(text: str) -> list[dict]:
 # Verification grading
 # --------------------------------------------------------------------------
 
-# conservative prefilter for the rescan: a \b-bounded term occurrence
-# requires every constituent word to appear as a maximal letter run, so if
-# no token of the text is a lexicon word there can be no residual match.
+# conservative prefilter for the rescan: a \b-bounded occurrence of a
+# term requires every constituent word to appear as a maximal letter run.
+# Checked per TERM (single-word membership / multi-word subset), not per
+# term-word — otherwise the scrub labels themselves ("[CITY]" → letter
+# run "city", a word of "new york city") force the slow path on almost
+# every redacted row.
 _ALL_TERM_WORDS = frozenset(w for t, _ in lx.SORTED_TERMS for w in t.split())
+_SINGLE_TERM_SET = frozenset(t for t, _ in lx.SORTED_TERMS if " " not in t)
+_MULTI_TERM_WORDSETS = tuple({frozenset(t.split())
+                              for t, _ in lx.SORTED_TERMS if " " in t})
 _LETTER_RUN_RE = re.compile(r"[a-z]+")
+
+
+def _may_have_term(token_set: frozenset[str]) -> bool:
+    if _SINGLE_TERM_SET & token_set:
+        return True
+    return any(ws <= token_set for ws in _MULTI_TERM_WORDSETS)
 
 
 def verify_counts(scrubbed_text: str) -> tuple[int, int]:
@@ -350,11 +373,11 @@ def verify_counts(scrubbed_text: str) -> tuple[int, int]:
     Rescan matches are exact → confidence 1.0 → high-confidence. Label
     self-matches are filtered like the reference (src/verifier.py:148-152).
 
-    Fast path: token-set ∩ lexicon-words empty ⟹ zero matches, skip the
-    full per-term scan (the common case — a fully scrubbed row has no
-    lexicon words left)."""
+    Fast path: no single-word term token and no complete multi-word term
+    word-set present ⟹ zero matches, skip the full per-term scan (the
+    common case — a fully scrubbed row has no matchable terms left)."""
     lower = scrubbed_text.lower()
-    if not _ALL_TERM_WORDS.intersection(_LETTER_RUN_RE.findall(lower)):
+    if not _may_have_term(frozenset(_LETTER_RUN_RE.findall(lower))):
         return 0, 0
     found = [
         p for p in detect_in_text(scrubbed_text)

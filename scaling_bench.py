@@ -28,28 +28,45 @@ def run_at(cpus: int, clips_path: str) -> dict:
 
     spark = get_spark(app=f"scale{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
-    clips = spark.read.parquet(clips_path)
-    n = clips.count()
+    clips = spark.read.parquet(clips_path).persist()
+    n = clips.count()  # materializes the cache: measure compute, not scan
 
     def job():
         out = apply_pipeline(clips, PipelineConfig(with_audio_verify=False,
-                                                   salt_partitions=cpus))
+                                                   salt_partitions=cpus * 8))
         out.groupBy("qa_status", "keep").count().collect()
 
-    # warm-ups pay JIT + concurrent python-worker spawn/imports; at large
-    # inputs one suffices (spawn cost amortizes inside the run)
-    job()
-    job()
+    # warm-ups pay JIT + concurrent python-worker spawn/imports + cache
+    for _ in range(4):
+        job()
     walls = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         job()
         walls.append(time.time() - t0)
-    wall = sorted(walls)[1]
+    wall = sorted(walls)[2]
     spark.stop()
     return {"cpus": cpus, "n_clips": n, "wall_s": round(wall, 2),
             "walls": [round(w, 2) for w in walls],
             "clips_per_sec": round(n / wall, 1)}
+
+
+def _child(cpus: int, clips_path: str) -> None:
+    print(json.dumps(run_at(cpus, clips_path)))
+
+
+def _run_level_pinned(cpus: int, clips_path: str) -> dict:
+    """Run one level in a subprocess pinned to exactly `cpus` cores
+    (taskset): local[N] bounds task slots, not CPUs — without pinning the
+    low level's JVM/Arrow/GC threads spill onto the remaining cores and
+    inflate the baseline, understating true N→4N scaling."""
+    import subprocess
+
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__,
+           "--child", str(cpus), clips_path]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True,
+                         cwd=str(REPO))
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
@@ -63,7 +80,7 @@ def main() -> None:
     clips_path = bench_mod.materialize_clips(prep, SF_DIR, cache)
     prep.stop()
 
-    results = [run_at(c, clips_path) for c in LEVELS]
+    results = [_run_level_pinned(c, clips_path) for c in LEVELS]
     pairs = []
     for lo, hi in zip(results, results[1:]):
         speedup = hi["clips_per_sec"] / lo["clips_per_sec"]
@@ -116,4 +133,7 @@ executors multiply Arrow batch lanes with no added exchanges.
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        _child(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()
