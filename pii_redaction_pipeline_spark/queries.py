@@ -323,6 +323,69 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_user_sessions(spark, sf_dir):
+    """Sessionization over the events table: lag + cumulative-sum window
+    (30-min inactivity gap), then per-user session/event counts — the
+    classic streaming-state shape expressed as batch windows."""
+    from pyspark.sql import Window as W
+
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        lag_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(lag_ts)) > 1800),
+        1).otherwise(0)
+    df = ev.withColumn("_new", new_sess)
+    df = df.withColumn(
+        "_sess", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    return (df.groupBy("user_id")
+            .agg(F.max("_sess").cast("bigint").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+SQL_USER_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+)
+SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+def q_status_pivot(spark, sf_dir):
+    """Pivot: keep × qa_status counts (grouping-sets/pivot capability)."""
+    graded = q_keep_drop_grade(spark, sf_dir)
+    p = (graded.groupBy("keep")
+         .pivot("qa_status", ["PASS", "REVIEW_REQUIRED", "FAIL"]).count())
+    return p.select(
+        "keep",
+        F.coalesce("PASS", F.lit(0)).cast("bigint").alias("n_pass"),
+        F.coalesce("REVIEW_REQUIRED", F.lit(0)).cast("bigint").alias("n_review"),
+        F.coalesce("FAIL", F.lit(0)).cast("bigint").alias("n_fail"))
+
+
+def _sql_status_pivot() -> str:
+    return f"""
+SELECT keep,
+       CAST(sum(CASE WHEN qa_status = 'PASS' THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN qa_status = 'REVIEW_REQUIRED' THEN 1 ELSE 0 END) AS BIGINT) AS n_review,
+       CAST(sum(CASE WHEN qa_status = 'FAIL' THEN 1 ELSE 0 END) AS BIGINT) AS n_fail
+FROM ({_sql_keep_drop()}) GROUP BY keep
+"""
+
+
 def q_lang_rollup(spark, sf_dir):
     """ROLLUP(lang, source) — grouping-sets capability (SURVEY §2.4 note)."""
     df = _read(spark, sf_dir, "documents")
@@ -531,6 +594,8 @@ QUERIES: dict[str, tuple] = {
     "top_suppliers": (q_top_suppliers, SQL_TOP_SUPPLIERS),
     "events_minutely": (q_events_minutely, SQL_EVENTS_MINUTELY),
     "lang_rollup": (q_lang_rollup, SQL_LANG_ROLLUP),
+    "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "status_pivot": (q_status_pivot, _sql_status_pivot()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "pipeline_full": (q_pipeline_full, None),       # rows-only: fuzzy layer

@@ -121,6 +121,26 @@ def test_manifest_and_report(spark):
     assert 0 < rep["n_kept"] < 100
 
 
+def test_null_transcript_rows(spark):
+    """NULL transcripts flow through like the reference's continue-on-error
+    rows: scrub yields empty text, quality drops them, nothing throws."""
+    from pyspark.sql import Row
+
+    from pii_redaction_pipeline_spark.schema import CLIPS_SCHEMA
+
+    rows = [Row(clip_id="c1", bytes=None, sr_hz=16000, dur_ms=500,
+                codec="wav", transcript=None),
+            Row(clip_id="c2", bytes=None, sr_hz=16000, dur_ms=500,
+                codec="wav", transcript="I visited Houston on Monday ok")]
+    df = spark.createDataFrame(rows, schema=CLIPS_SCHEMA)
+    out = {r["clip_id"]: r for r in apply_pipeline(
+        df, PipelineConfig(with_audio_verify=False)).collect()}
+    assert out["c1"]["scrubbed_text"] == ""
+    assert out["c1"]["qa_status"] == "PASS" and not out["c1"]["keep"]
+    assert out["c2"]["scrubbed_text"] == "I visited [CITY] on [DAY] ok"
+    assert out["c2"]["keep"]
+
+
 def test_bytes_pruned_when_audio_off(spark):
     """Column pruning: with audio verify off, the physical scan must not
     read `bytes` (explain ReadSchema check — SURVEY §4.2)."""
