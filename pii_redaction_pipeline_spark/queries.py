@@ -476,6 +476,35 @@ def q_embedding_neardup(spark, sf_dir):
     return spark_neardup_pairs(_read(spark, sf_dir, "embeddings"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from .functions.similarity import spark_cosine_topk_ivf
+    return spark_cosine_topk_ivf(_read(spark, sf_dir, "embeddings"))
+
+
+def q_lang_char_median(spark, sf_dir):
+    """Grouped custom aggregation via applyInPandas (UDAF surface): per-
+    language doc count + median n_chars. The grouped-map shape is the
+    plug-in point for arbitrary per-group Python (state, models)."""
+    docs = _read(spark, sf_dir, "documents").select("lang", "n_chars")
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": [pdf["lang"].iloc[0]],
+            "n_docs": [len(pdf)],
+            "median_chars": [float(pdf["n_chars"].median())],
+        })
+
+    return docs.groupBy("lang").applyInPandas(
+        agg, schema="lang string, n_docs long, median_chars double")
+
+
+SQL_LANG_CHAR_MEDIAN = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(median(n_chars) AS DOUBLE) AS median_chars
+FROM documents GROUP BY lang
+"""
+
+
 def q_fuzzy_vocab(spark, sf_dir):
     """Vocabulary-level fuzzy matcher (the scale path for the fuzzy layer:
     dedupe tokens → match vocabulary → map back), JVM levenshtein +
@@ -611,7 +640,11 @@ def _register_dedup_similarity() -> None:
         duck_simhash_sql,
     )
     from .functions.fuzzy_sql import duck_fuzzy_vocab_sql
-    from .functions.similarity import duck_cosine_topk_sql, duck_neardup_pairs_sql
+    from .functions.similarity import (
+        duck_cosine_topk_ivf_sql,
+        duck_cosine_topk_sql,
+        duck_neardup_pairs_sql,
+    )
 
     QUERIES.update({
         "fuzzy_vocab": (q_fuzzy_vocab, duck_fuzzy_vocab_sql(ENRICH_SQL)),
@@ -621,6 +654,8 @@ def _register_dedup_similarity() -> None:
         "simhash": (q_simhash, duck_simhash_sql()),
         "ann_cosine_topk": (q_ann_cosine_topk, duck_cosine_topk_sql()),
         "embedding_neardup": (q_embedding_neardup, duck_neardup_pairs_sql()),
+        "ann_ivf_topk": (q_ann_ivf_topk, duck_cosine_topk_ivf_sql()),
+        "lang_char_median": (q_lang_char_median, SQL_LANG_CHAR_MEDIAN),
         "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     })
 
