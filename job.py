@@ -11,6 +11,9 @@ buckets (per-partition lineage; idempotent resume), writes results +
 manifest + a QA report row.
 
 Packaging: `python job.py --make-zip` emits the --py-files archive.
+The archive is NOT tracked in git (a committed copy inevitably drifts
+from source); deploys rebuild it, and tests/test_job_packaging.py
+asserts the built archive mirrors the package byte-for-byte.
 """
 
 from __future__ import annotations

@@ -50,14 +50,22 @@ def clean_human_udf():
 def batch_wer(results_df, golden_df, hyp_col: str = "transcript",
               ref_col: str = "human_text"):
     """results ⋈ golden → per-row WER → aggregate totals. Aggregate WER =
-    sum(S+I+D)/sum(ref_words) (src/wer_calculator.py:186-191)."""
+    sum(S+I+D)/sum(ref_words), 0.0 when no reference words
+    (src/wer_calculator.py:186-191). mean_wer averages only rows with
+    reference_words > 0 (src/wer_calculator.py:193-197) — an empty
+    reference yields wer=inf (non-empty hyp) or 0.0 (empty hyp), and the
+    reference excludes both from the mean; 0.0 when none qualify."""
     joined = results_df.join(golden_df, "clip_id")
     joined = joined.withColumn("_wer", wer_udf(F.col(ref_col), F.col(hyp_col)))
+    total_errs = (F.sum("_wer.substitutions") + F.sum("_wer.insertions")
+                  + F.sum("_wer.deletions")).cast("double")
+    total_ref = F.sum("_wer.reference_words")
     return joined.agg(
-        ((F.sum("_wer.substitutions") + F.sum("_wer.insertions")
-          + F.sum("_wer.deletions")).cast("double")
-         / F.sum("_wer.reference_words")).alias("aggregate_wer"),
-        F.avg("_wer.wer").alias("mean_wer"),
+        F.when(total_ref > 0, total_errs / total_ref)
+        .otherwise(F.lit(0.0)).alias("aggregate_wer"),
+        F.coalesce(
+            F.avg(F.when(F.col("_wer.reference_words") > 0, F.col("_wer.wer"))),
+            F.lit(0.0)).alias("mean_wer"),
         F.sum("_wer.substitutions").alias("total_substitutions"),
         F.sum("_wer.insertions").alias("total_insertions"),
         F.sum("_wer.deletions").alias("total_deletions"),

@@ -253,8 +253,8 @@ def q_pricing_summary(spark, sf_dir):
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(F.sum("l_quantity").alias("sum_qty"),
-             F.sum("l_extendedprice").alias("sum_base_price"),
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
              F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
              .alias("sum_disc_price"),
              F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
@@ -264,8 +264,8 @@ def q_pricing_summary(spark, sf_dir):
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice) AS sum_base_price,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
        round(avg(l_quantity), 6) AS avg_qty,
        CAST(count(*) AS BIGINT) AS count_order

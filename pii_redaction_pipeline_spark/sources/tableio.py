@@ -133,7 +133,15 @@ class ResumableRun:
                     else F.lit(0)).alias("n_kept"))
         agg.append((F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
                     if "error" in results.columns else F.lit(0)).alias("n_errors"))
-        stats = written.groupBy(BUCKET_COL).agg(*agg)
+        # left-join against the pending list so buckets that produced zero
+        # rows still get a DONE row (n_rows=0) — otherwise resume re-selects
+        # them forever and a drive-until-done loop never terminates
+        pending_df = self.spark.createDataFrame(
+            [(int(b),) for b in pending], f"{BUCKET_COL} int")
+        stats = (pending_df
+                 .join(written.groupBy(BUCKET_COL).agg(*agg),
+                       BUCKET_COL, "left")
+                 .fillna(0, subset=["n_rows", "n_kept", "n_errors"]))
         self._append_lineage(run_id, stats, elapsed_ms)
         return {"run_id": run_id, "processed_buckets": len(pending),
                 "skipped_buckets": len(done), "elapsed_ms": elapsed_ms}

@@ -71,6 +71,23 @@ def test_lineage_rows(spark, clips, tmp_path):
     assert sum(r["n_kept"] for r in lin) == kept
 
 
+def test_empty_buckets_marked_done(spark, tmp_path):
+    """Buckets that select zero rows still get a DONE lineage row
+    (n_rows=0), so resume terminates instead of re-running them forever."""
+    few = datagen.clips_df(spark, 20, seed=7, partitions=2, with_audio=False)
+    rr = ResumableRun(spark, str(tmp_path / "o"), n_buckets=64)
+    rr.run(few, process)
+    lin = rr.lineage().collect()
+    assert len(lin) == 64                      # every bucket recorded
+    assert len(rr.done_buckets()) == 64
+    empty = [r for r in lin if r["n_rows"] == 0]
+    assert empty and all(r["status"] == "DONE" for r in empty)
+    r2 = rr.run(few, process)                  # drive-until-done terminates
+    assert r2["processed_buckets"] == 0
+    assert r2["skipped_buckets"] == 64
+    assert rr.results().count() == 20
+
+
 def test_half_written_bucket_overwritten(spark, clips, tmp_path):
     """A bucket written but not recorded DONE (simulated crash between
     results commit and lineage append) is reprocessed without dupes."""

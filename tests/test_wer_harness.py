@@ -45,6 +45,35 @@ def test_batch_wer_identical_after_cleaning(spark):
     assert agg["num_samples"] == 80
 
 
+def test_batch_wer_excludes_empty_reference_rows(spark):
+    """Reference calculate_batch_wer (src/wer_calculator.py:193-197)
+    excludes reference_words==0 rows from mean_wer: one empty-ref /
+    non-empty-hyp row (wer=inf) must not poison the mean, and empty/empty
+    rows must not bias it low. Matches core-computed expectation."""
+    pairs = [
+        ("c1", "the quick brown fox", "the quick brown fix"),   # wer 0.25
+        ("c2", "", "ghost words here"),                          # inf, excluded
+        ("c3", "", ""),                                          # 0/0, excluded
+        ("c4", "a b c d", "a b c d"),                            # wer 0.0
+    ]
+    results = spark.createDataFrame(
+        [(c, h) for c, _, h in pairs], ["clip_id", "transcript"])
+    golden = spark.createDataFrame(
+        [(c, r) for c, r, _ in pairs], ["clip_id", "human_text"])
+    agg = batch_wer(results, golden).collect()[0]
+    valid = [core.wer(r, h)["wer"] for _, r, h in pairs
+             if core.wer(r, h)["reference_words"] > 0]
+    assert math.isfinite(agg["mean_wer"])
+    assert math.isclose(agg["mean_wer"], sum(valid) / len(valid))
+    assert agg["num_samples"] == 4
+    # all-empty references → aggregate_wer defaults to 0.0, not NaN/inf
+    r2 = spark.createDataFrame([("x", "hyp words")], ["clip_id", "transcript"])
+    g2 = spark.createDataFrame([("x", "")], ["clip_id", "human_text"])
+    agg2 = batch_wer(r2, g2).collect()[0]
+    assert agg2["aggregate_wer"] == 0.0
+    assert agg2["mean_wer"] == 0.0
+
+
 def test_wer_udf_matches_core(spark):
     pairs = [
         ("I visited Houston Texas on Monday", "I visited Huston Texas on Munday"),
