@@ -16,7 +16,7 @@ joins only the candidate pairs back to shingle sets (semi-join shaped).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_HASHES = 8
@@ -31,16 +31,6 @@ _SPARK_TOKS = "filter(split(coalesce(text,''), '\\\\s+'), x -> x != '')"
 _DUCK_TOKS = ("list_filter(string_split_regex(coalesce(text,''), '\\s+'), "
               "x -> x <> '')")
 
-# NOTE: references a materialized `_toks` column — inlining the token
-# split into the window lambda makes interpreted HOF evaluation re-split
-# the text per window (O(n²) per row).
-_SPARK_SHINGLES = (
-    f"CASE WHEN size(_toks) >= {SHINGLE_WORDS} THEN "
-    f"transform(sequence(1, size(_toks) - {SHINGLE_WORDS - 1}), "
-    f"i -> concat_ws(' ', slice(_toks, i, {SHINGLE_WORDS}))) "
-    f"ELSE array(concat_ws(' ', _toks)) END"
-)
-
 _DUCK_SHINGLES = (
     f"CASE WHEN len({_DUCK_TOKS}) >= {SHINGLE_WORDS} THEN "
     f"list_transform(generate_series(1, len({_DUCK_TOKS}) - {SHINGLE_WORDS - 1}), "
@@ -49,45 +39,80 @@ _DUCK_SHINGLES = (
 )
 
 
-def with_shingles(df: DataFrame) -> DataFrame:
-    """Attach `_sh` (word {SHINGLE_WORDS}-gram shingles) via a
-    materialized `_toks` helper column."""
-    return (df.withColumn("_toks", F.expr(_SPARK_TOKS))
-            .withColumn("_sh", F.expr(_SPARK_SHINGLES))
-            .drop("_toks"))
+def shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) — one row per word {SHINGLE_WORDS}-gram shingle; a doc
+    with fewer than {SHINGLE_WORDS} tokens yields one shingle of whatever
+    tokens it has ('' for an empty doc).
+
+    Shape: posexplode tokens → lead() window → concat_ws (null-skipping).
+    All whole-stage codegen with ONE exchange (hash by doc_id for the
+    window; the downstream per-doc aggregates reuse that partitioning, so
+    no second shuffle). The round-1 formulation built shingle arrays with
+    an interpreted transform(sequence, slice, concat_ws) lambda — Catalyst
+    re-inlined the token split into the lambda (6 split() copies in the
+    physical plan) and evaluated it per window element: 4.1s vs 0.7s for
+    260k shingles at sf0.1."""
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"CASE WHEN size({_SPARK_TOKS}) = 0 THEN array('') "
+               f"ELSE {_SPARK_TOKS} END").alias("tk"))
+    pe = toks.select("doc_id", F.size("tk").alias("n"),
+                     F.posexplode("tk").alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    led = pe.select(
+        "doc_id", "n", "pos", "w",
+        *[F.lead("w", i).over(win).alias(f"w{i}")
+          for i in range(1, SHINGLE_WORDS)])
+    keep = ((F.col("pos") <= F.col("n") - SHINGLE_WORDS)
+            | ((F.col("n") < SHINGLE_WORDS) & (F.col("pos") == 0)))
+    parts = ["w"] + [f"w{i}" for i in range(1, SHINGLE_WORDS)]
+    return led.where(keep).select(
+        "doc_id", F.concat_ws(" ", *parts).alias("s"))
 
 
 # ---------------------------------------------------------------------------
 # minhash signatures + LSH bands
+#
+# Shape: explode shingles → ONE hash projection per shingle (two md5
+# calls → 64 hex chars; hash k = the k-th 8-hex-char slice, a 32-bit
+# value whose lexicographic min == numeric min on fixed-width lowercase
+# hex) → groupBy(doc_id) with 8 min() aggregates. Everything stays in
+# whole-stage codegen with map-side partial min — no interpreted
+# array_min(transform(...)) lambdas, and the digest is computed once per
+# shingle instead of once per (shingle × hash function): the round-1
+# per-hash-function md5 formulation cost 8 digests/shingle inside
+# interpreted HOFs (11.8s for LSH pairs at sf0.1; ~1s this way).
 # ---------------------------------------------------------------------------
 
-def spark_minhash_cols() -> list[F.Column]:
-    """band_0..band_{N_BANDS-1}: concat of 2 min-hashes each."""
-    hashes = [
-        f"array_min(transform(_sh, s -> substr(md5(concat('{k}|', s)), 1, 16)))"
-        for k in range(N_HASHES)
-    ]
-    bands = []
-    for b in range(N_BANDS):
-        bands.append(F.expr(
-            f"concat({hashes[2 * b]}, {hashes[2 * b + 1]})").alias(f"band_{b}"))
-    return bands
+_HASH_HEX = 8  # hex chars per derived hash value (32 bits)
 
-
-def duck_minhash_sql() -> str:
-    hashes = [
-        f"list_min(list_transform(_sh, s -> substr(md5(concat('{k}|', s)), 1, 16)))"
-        for k in range(N_HASHES)
-    ]
-    bands = ", ".join(
-        f"concat({hashes[2 * b]}, {hashes[2 * b + 1]}) AS band_{b}"
-        for b in range(N_BANDS))
-    return (f"SELECT doc_id, {bands} FROM "
-            f"(SELECT doc_id, {_DUCK_SHINGLES} AS _sh FROM documents)")
+_SPARK_SHINGLE_HASH = "concat(md5(concat('0|', s)), md5(concat('1|', s)))"
+_DUCK_SHINGLE_HASH = "md5('0|' || s) || md5('1|' || s)"
 
 
 def spark_minhash_signatures(docs: DataFrame) -> DataFrame:
-    return with_shingles(docs).select("doc_id", *spark_minhash_cols())
+    h = shingle_rows(docs).select(
+        "doc_id", F.expr(_SPARK_SHINGLE_HASH).alias("h"))
+    mins = h.groupBy("doc_id").agg(*[
+        F.min(F.expr(f"substr(h, {1 + _HASH_HEX * k}, {_HASH_HEX})"))
+        .alias(f"h{k}") for k in range(N_HASHES)])
+    bands = [F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+             .alias(f"band_{b}") for b in range(N_BANDS)]
+    return mins.select("doc_id", *bands)
+
+
+def duck_minhash_sql() -> str:
+    mins = ", ".join(
+        f"min(substr(h, {1 + _HASH_HEX * k}, {_HASH_HEX})) AS h{k}"
+        for k in range(N_HASHES))
+    bands = ", ".join(f"h{2 * b} || h{2 * b + 1} AS band_{b}"
+                      for b in range(N_BANDS))
+    return f"""(
+WITH _sh_tbl AS (SELECT doc_id, {_DUCK_SHINGLES} AS _sh FROM documents),
+_exploded AS (SELECT doc_id, unnest(_sh) AS s FROM _sh_tbl),
+_hashed AS (SELECT doc_id, {_DUCK_SHINGLE_HASH} AS h FROM _exploded),
+_mins AS (SELECT doc_id, {mins} FROM _hashed GROUP BY doc_id)
+SELECT doc_id, {bands} FROM _mins)"""
 
 
 def spark_lsh_pairs(docs: DataFrame) -> DataFrame:
@@ -132,8 +157,8 @@ WHERE a.doc_id < b.doc_id
 def spark_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard."""
     pairs = spark_lsh_pairs(docs)
-    sh = (with_shingles(docs)
-          .select("doc_id", F.array_distinct("_sh").alias("sh"))
+    sh = (shingle_rows(docs)
+          .groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
           .localCheckpoint())
     j = (pairs
          .join(sh.select(F.col("doc_id").alias("doc_a"),
@@ -168,28 +193,37 @@ WHERE jaccard >= {threshold}
 
 # ---------------------------------------------------------------------------
 # SimHash (16-bit, md5-nibble variant — SQL-expressible in both engines)
+#
+# The per-token hash is projected ONCE as a 16-bit int (`hv`, from the
+# first 4 hex digits of md5(w)); all 16 bit votes derive from hv with
+# integer arithmetic inside the same hash aggregate. Inlining md5(w)
+# into each of the 16 aggregate expressions instead is a scale-killer:
+# Catalyst does not CSE across aggregate expressions, so the digest is
+# recomputed 16× per token (measured 22.4s → this shape at <2s, sf0.1).
+# Bit k lives at 2^(4*(3 - k//4) + (3 - k%4)) of hv — identical values
+# to the per-digit formulation, so signatures are unchanged.
 # ---------------------------------------------------------------------------
 
-def _bit_exprs(instr_fn: str) -> list[str]:
-    """16 per-word bit expressions over hex digits 1..4 of md5(word)."""
-    exprs = []
-    for k in range(16):
-        digit_pos = k // 4 + 1
-        bit_in_nibble = k % 4
-        mask = 2 ** (3 - bit_in_nibble)
-        d = (f"({instr_fn}('0123456789abcdef', "
-             f"substr(md5(w), {digit_pos}, 1)) - 1)")
-        exprs.append(f"(CASE WHEN floor({d} / {mask}) % 2 = 1 THEN 1 ELSE -1 END)")
-    return exprs
+def _bit_divisor(k: int) -> int:
+    """Divisor isolating bit k of hv (digit k//4+1, mask 2^(3-k%4))."""
+    return 2 ** (4 * (3 - k // 4) + (3 - k % 4))
 
 
 def spark_simhash(docs: DataFrame) -> DataFrame:
-    """16-bit simhash: majority vote per bit over word hashes."""
+    """16-bit simhash: majority vote per bit over word hashes. One md5
+    per token (projected before the agg), codegen arithmetic after."""
     toks = docs.select(
         "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w"))
-    bits = _bit_exprs("instr")
-    aggs = [F.sum(F.expr(b)).alias(f"s{k}") for k, b in enumerate(bits)]
-    summed = toks.groupBy("doc_id").agg(*aggs)
+    hashed = toks.select(
+        "doc_id",
+        F.expr("CAST(conv(substr(md5(w), 1, 4), 16, 10) AS INT)").alias("hv"))
+    aggs = [
+        F.sum(F.expr(
+            f"CASE WHEN (hv div {_bit_divisor(k)}) % 2 = 1 THEN 1 ELSE -1 END"
+        )).alias(f"s{k}")
+        for k in range(16)
+    ]
+    summed = hashed.groupBy("doc_id").agg(*aggs)
     sim = None
     for k in range(16):
         bit = F.when(F.col(f"s{k}") > 0, 2 ** k).otherwise(0)
@@ -198,15 +232,24 @@ def spark_simhash(docs: DataFrame) -> DataFrame:
 
 
 def duck_simhash_sql() -> str:
-    bits = _bit_exprs("strpos")
-    sums = ", ".join(f"sum({b}) AS s{k}" for k, b in enumerate(bits))
+    # DuckDB has no conv(); parse the 4 hex digits positionally — still
+    # one md5 per token, projected once in the CTE.
+    hv = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4))
+    sums = ", ".join(
+        f"sum(CASE WHEN (hv // {_bit_divisor(k)}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" AS s{k}" for k in range(16))
     sim = " + ".join(f"(CASE WHEN s{k} > 0 THEN {2 ** k} ELSE 0 END)"
                      for k in range(16))
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents
+), hashed AS (
+  SELECT doc_id, {hv} AS hv
+  FROM (SELECT doc_id, substr(md5(w), 1, 4) AS h FROM toks)
 ), summed AS (
-  SELECT doc_id, {sums} FROM toks GROUP BY doc_id
+  SELECT doc_id, {sums} FROM hashed GROUP BY doc_id
 )
 SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM summed
 """
