@@ -102,17 +102,21 @@ def main() -> None:
     def run_audio():
         out = apply_pipeline(aclips, PipelineConfig(with_ppl=False))
         out.agg({"n_samples": "sum"}).collect()
-    timings["pipeline_with_audio"] = timed(run_audio)
+    run_audio()  # warm-up (python workers re-spawn on Arrow batch change)
+    timings["pipeline_with_audio"] = min(timed(run_audio), timed(run_audio))
 
     # representative registry queries (JVM-only chain, joins, aggs, dedup)
     for name in ["scrub_lexicon", "keep_drop_grade", "scrub_counts",
                  "pricing_summary", "top_suppliers", "dedup_exact",
                  "token_stats", "events_minutely", "minhash_signatures",
-                 "neardup_pairs_minhash", "simhash", "ann_cosine_topk",
+                 "neardup_pairs_minhash", "jaccard_pairs", "simhash",
+                 "ann_cosine_topk", "ann_ivf_topk", "embedding_neardup",
                  "doc_fingerprint"]:
         fn, _ = QUERIES[name]
-        timings[name] = timed(lambda f=fn: f(spark, SF_DIR)
-                              .write.format("noop").mode("overwrite").save())
+        run = (lambda f=fn: f(spark, SF_DIR)
+               .write.format("noop").mode("overwrite").save())
+        run()  # warm-up: JIT + codegen/regex compile, fresh plan per call
+        timings[name] = min(timed(run), timed(run))
 
     clips_per_sec = round(n_clips / t_pipeline, 1)
     print(json.dumps({

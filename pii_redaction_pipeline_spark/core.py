@@ -97,38 +97,62 @@ class Match:
     is_fuzzy: bool = False
 
 
-# first words of multi-word phrases: positions whose normalized token is
-# not in this set can only match single-word terms (fast path; the slow
-# path joins 4/3/2-word slices at every position like the reference)
-_MULTI_FIRST_WORDS = frozenset(
-    t.split()[0] for t in lx.PHRASE_TO_CATEGORY if " " in t
-)
+# Word-level phrase trie (Aho-Corasick-style automaton without failure
+# links — phrases are ≤ MAX_PHRASE_LEN words and the reference restarts
+# at i+1 on a miss, so a plain trie walk reproduces its semantics).
+# Nodes are dicts keyed by normalized word; the int sentinel key holds
+# the terminal category (ints can't collide with str word keys). Every
+# phrase matching at position i lies ON the single root walk through
+# norm[i:], so collecting terminal depths along one walk and taking the
+# deepest passing one is exactly the reference's longest-first retry
+# loop (src/pii_detector.py:173-241) — without re-joining 4/3/2-word
+# slice strings per position.
+_TRIE_CAT = 0
+
+
+def _build_phrase_trie() -> dict:
+    root: dict = {}
+    for phrase, category in lx.PHRASE_TO_CATEGORY.items():
+        node = root
+        for w in phrase.split():
+            node = node.setdefault(w, {})
+        node[_TRIE_CAT] = category
+    return root
+
+
+_PHRASE_TRIE = _build_phrase_trie()
 
 
 def exact_match(tokens: list[str], norm: list[str], matched: set[int]) -> list[Match]:
     """Longest-first exact phrase matching over normalized tokens with
-    consumed-index skipping (reference src/pii_detector.py:173-241)."""
+    consumed-index skipping (reference src/pii_detector.py:173-241),
+    as a single trie walk per start position."""
     matches: list[Match] = []
     n = len(tokens)
     full_text: str | None = None
-    phrase_cat = lx.PHRASE_TO_CATEGORY
-    multi_first = _MULTI_FIRST_WORDS
+    root = _PHRASE_TRIE
     i = 0
     while i < n:
         if i in matched:
             i += 1
             continue
-        w = norm[i]
-        if w not in multi_first and w not in phrase_cat:
+        node = root.get(norm[i])
+        if node is None:
             i += 1  # fast path: no term can start here
             continue
-        max_len = lx.MAX_PHRASE_LEN if w in multi_first else 1
-        for phrase_len in range(min(max_len, n - i), 0, -1):
-            phrase = w if phrase_len == 1 else " ".join(norm[i: i + phrase_len])
-            category = phrase_cat.get(phrase)
-            if category is None:
-                continue
-            if phrase == "may":
+        # walk as deep as the tokens allow, recording terminal depths
+        terminals: list[tuple[int, str]] = (
+            [(1, node[_TRIE_CAT])] if _TRIE_CAT in node else [])
+        j = i + 1
+        while j < n:
+            node = node.get(norm[j])
+            if node is None:
+                break
+            if _TRIE_CAT in node:
+                terminals.append((j - i + 1, node[_TRIE_CAT]))
+            j += 1
+        for phrase_len, category in reversed(terminals):  # longest first
+            if phrase_len == 1 and norm[i] == "may":
                 if full_text is None:
                     full_text = " ".join(tokens)
                 word_pos = sum(len(t) + 1 for t in tokens[:i])
@@ -394,6 +418,21 @@ def grade(verify_total: int, verify_high_conf: int) -> str:
     if verify_total <= lx.VERIFY_REVIEW_THRESHOLD:
         return "PASS_WITH_NOTE" if verify_high_conf == 0 else "REVIEW_REQUIRED"
     return "FAIL"
+
+
+_STATUS_RANK = {"PASS": 0, "PASS_WITH_NOTE": 1, "REVIEW_REQUIRED": 2, "FAIL": 3}
+
+
+def combine_status(text_status: str, audio_ok: bool | None) -> str:
+    """Worst-of verification combine (reference src/verifier.py:41-55:
+    FAIL > REVIEW_REQUIRED > PASS_WITH_NOTE > PASS). audio_ok=None means
+    audio verification did not run (audio_status None → text_status,
+    src/verifier.py:42-44); audio_ok=False maps to REVIEW_REQUIRED like
+    the reference's failed audio verification (src/verifier.py:185-191)."""
+    if audio_ok is None:
+        return text_status
+    audio_status = "PASS" if audio_ok else "REVIEW_REQUIRED"
+    return max(text_status, audio_status, key=_STATUS_RANK.__getitem__)
 
 
 # --------------------------------------------------------------------------

@@ -39,10 +39,10 @@ _DUCK_SHINGLES = (
 )
 
 
-def shingle_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, s) — one row per word {SHINGLE_WORDS}-gram shingle; a doc
-    with fewer than {SHINGLE_WORDS} tokens yields one shingle of whatever
-    tokens it has ('' for an empty doc).
+def shingle_rows(docs: DataFrame, n_words: int = SHINGLE_WORDS) -> DataFrame:
+    """(doc_id, s) — one row per word n-gram shingle; a doc with fewer
+    than n_words tokens yields one shingle of whatever tokens it has
+    ('' for an empty doc).
 
     Shape: posexplode tokens → lead() window → concat_ws (null-skipping).
     All whole-stage codegen with ONE exchange (hash by doc_id for the
@@ -62,10 +62,10 @@ def shingle_rows(docs: DataFrame) -> DataFrame:
     led = pe.select(
         "doc_id", "n", "pos", "w",
         *[F.lead("w", i).over(win).alias(f"w{i}")
-          for i in range(1, SHINGLE_WORDS)])
-    keep = ((F.col("pos") <= F.col("n") - SHINGLE_WORDS)
-            | ((F.col("n") < SHINGLE_WORDS) & (F.col("pos") == 0)))
-    parts = ["w"] + [f"w{i}" for i in range(1, SHINGLE_WORDS)]
+          for i in range(1, n_words)])
+    keep = ((F.col("pos") <= F.col("n") - n_words)
+            | ((F.col("n") < n_words) & (F.col("pos") == 0)))
+    parts = ["w"] + [f"w{i}" for i in range(1, n_words)]
     return led.where(keep).select(
         "doc_id", F.concat_ws(" ", *parts).alias("s"))
 

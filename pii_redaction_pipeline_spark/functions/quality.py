@@ -72,17 +72,39 @@ def with_langid(df, text_col: str = "transcript"):
 
 
 def with_grade(df):
-    """qa_status CASE over the verification rescan count
-    (reference thresholds src/config.py:42-44; rescan matches are exact →
-    high-confidence, so PASS_WITH_NOTE is unreachable in text-only mode —
-    same as the reference with verify_audio=False) + keep decision."""
+    """qa_status = worst-of(text_status, audio_status) + keep decision.
+
+    text_status: CASE over the verification rescan count (reference
+    thresholds src/config.py:42-44). audio_status: only when the audio
+    decode-verify stage ran (a `decode_ok` column exists) — a clip whose
+    audio cannot be decoded maps to REVIEW_REQUIRED, mirroring the
+    reference's failed audio verification branch (src/verifier.py:185-191);
+    the combine is the reference's worst-of rule (src/verifier.py:41-55,
+    FAIL > REVIEW_REQUIRED > PASS_WITH_NOTE > PASS). With text-only
+    pipelines qa_status is text_status alone, like the reference with
+    audio_status=None (src/verifier.py:42-44).
+
+    PASS_WITH_NOTE stays unreachable in BOTH engines: every match the
+    detector emits carries confidence ≥ FUZZY_MIN_CONFIDENCE (the fuzzy
+    gate at src/pii_detector.py:328 uses the same threshold as the
+    high-confidence filter at src/verifier.py:106-109, and exact/rescan
+    matches are 1.0), so the all-low-confidence branch can never trigger
+    — bug-compatible with the reference."""
     v = F.col("verify_pii_count")
-    df = df.withColumn(
-        "qa_status",
+    text_status = (
         F.when(v == 0, "PASS")
         .when(v <= lx.VERIFY_REVIEW_THRESHOLD, "REVIEW_REQUIRED")
-        .otherwise("FAIL"),
-    )
+        .otherwise("FAIL"))
+    if "decode_ok" in df.columns:
+        # audio_status ∈ {PASS, REVIEW_REQUIRED}; worst-of collapses to:
+        status = (
+            F.when(text_status == "FAIL", "FAIL")
+            .when(~F.coalesce(F.col("decode_ok"), F.lit(False)),
+                  "REVIEW_REQUIRED")
+            .otherwise(text_status))
+    else:
+        status = text_status
+    df = df.withColumn("qa_status", status)
     return df.withColumn(
         "keep",
         F.col("quality_ok")

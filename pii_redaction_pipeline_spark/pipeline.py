@@ -68,11 +68,11 @@ def apply_pipeline(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFram
     df = with_langid(df, cfg.text_col)    # pure Column exprs (codegen)
     df = drop_helper_cols(df)
     df = with_scrub(df, cfg.text_col)     # the one hot-path pandas UDF
-    df = with_grade(df)                   # CASE WHEN grading (codegen)
+    if audio_on:
+        df = with_decode_verify(df)       # only stage that touches `bytes`
+    df = with_grade(df)                   # CASE grading; fuses decode_ok
     if cfg.with_ppl:
         df = with_ppl(df, cfg.text_col)
-    if cfg.with_audio_verify and "bytes" in df.columns:
-        df = with_decode_verify(df)       # only stage that touches `bytes`
     return df
 
 

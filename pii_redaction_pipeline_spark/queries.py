@@ -517,18 +517,18 @@ def q_fuzzy_vocab(spark, sf_dir):
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    """Winnowing-lite document fingerprint: min md5 over 5-word windows.
-    Token array is materialized once per row (inlining it into the window
-    lambda makes interpreted HOF evaluation re-split the text per window
-    — 10× slower at sf0.1)."""
+    """Winnowing-lite document fingerprint: min md5 over 5-word windows,
+    via the codegen shingle generator (posexplode + lead window) + one
+    min() hash agg — no interpreted transform lambdas (the round-1
+    array_min(transform(sequence, slice)) form re-split the text per
+    window element)."""
+    from .functions.dedup import shingle_rows
+
     df = _read(spark, sf_dir, "documents")
-    df = df.withColumn(
-        "toks", F.expr("filter(split(coalesce(text,''), '\\\\s+'), x -> x != '')"))
-    expr = ("CASE WHEN size(toks) >= 5 THEN "
-            "array_min(transform(sequence(1, size(toks) - 4), "
-            "i -> md5(concat_ws(' ', slice(toks, i, 5))))) "
-            "ELSE md5(concat_ws(' ', toks)) END")
-    return df.select("doc_id", F.expr(expr).alias("fingerprint"))
+    return (shingle_rows(df, n_words=5)
+            .groupBy("doc_id")
+            .agg(F.min(F.md5(F.col("s").cast("binary")))
+                 .alias("fingerprint")))
 
 
 _DUCK_FP_TOKS = _DUCK_TOKS
@@ -592,6 +592,70 @@ def q_pipeline_full(spark, sf_dir):
         F.round("ppl", 6).alias("ppl"), "decode_ok", "n_samples")
 
 
+def q_pipeline_grade_cols(spark, sf_dir):
+    """The FLAGSHIP pipeline's SQL-expressible grading columns, hash-
+    checked by the driver: runs the real apply_pipeline (salting, fused
+    ArrowEvalPython stage, langid UDF) over the derived clips table and
+    exposes quality + langid outputs. qa_status/keep carry word-path +
+    fuzzy semantics (not SQL-expressible) and stay under the pytest
+    oracle; this row pins the flagship's plumbing end-to-end."""
+    from .pipeline import PipelineConfig, apply_pipeline
+
+    clips = clips_from_documents(spark, sf_dir, with_audio=False)
+    out = apply_pipeline(clips, PipelineConfig(with_audio_verify=False,
+                                               with_ppl=False))
+    return out.select(
+        "clip_id",
+        F.col("word_cnt").cast("bigint").alias("word_cnt"),
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("symbol_density", 6).alias("symbol_density"),
+        "quality_ok",
+        F.col("lang").alias("lang_pred"),
+        F.round("lang_conf", 6).alias("lang_conf"))
+
+
+def _sql_pipeline_grade_cols() -> str:
+    toks = _DUCK_TOKS.replace("coalesce(text,'')", "etext")
+    score_cols = []
+    for lang in lx.LANG_PRIORITY:
+        lits = ", ".join("'" + w + "'" for w in lx.LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, "
+            f"x -> list_contains([{lits}], lower(x)))) AS DOUBLE) / len(toks) "
+            f"ELSE 0.0 END AS s_{lang}")
+    best = "greatest(" + ", ".join(f"s_{l}" for l in lx.LANG_PRIORITY) + ")"
+    pick = f"CASE WHEN {best} < {lx.LANGID_MIN_CONFIDENCE} THEN 'und' "
+    for lang in lx.LANG_PRIORITY:
+        pick += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    pick += "END"
+    return f"""
+WITH e AS (SELECT printf('clip_%08d', doc_id) AS clip_id, {ENRICH_SQL} AS etext
+           FROM documents),
+t AS (SELECT clip_id, etext, {toks} AS toks FROM e),
+m AS (SELECT clip_id,
+        CAST(len(toks) AS BIGINT) AS word_cnt,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS DOUBLE)
+            / len(toks) ELSE 0.0 END AS distinct_ratio,
+        CASE WHEN len(etext) > 0 THEN
+          CAST(len(regexp_replace(etext, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+            / len(etext) ELSE 0.0 END AS symbol_density,
+        {", ".join(score_cols)}
+      FROM t)
+SELECT clip_id, word_cnt,
+       round(distinct_ratio, 6) AS distinct_ratio,
+       round(symbol_density, 6) AS symbol_density,
+       (word_cnt >= {lx.QUALITY_MIN_WORDS}
+        AND word_cnt <= {lx.QUALITY_MAX_WORDS}
+        AND (word_cnt < {lx.QUALITY_DISTINCT_RATIO_MIN_WORDS}
+             OR distinct_ratio >= {lx.QUALITY_MIN_DISTINCT_RATIO})
+        AND symbol_density <= {lx.QUALITY_MAX_SYMBOL_DENSITY}) AS quality_ok,
+       {pick} AS lang_pred,
+       round({best}, 6) AS lang_conf
+FROM m
+"""
+
+
 def q_wer_scrub_effect(spark, sf_dir):
     """WER operator (reference src/wer_calculator.py): distance between
     original and scrubbed text quantifies redaction impact."""
@@ -628,6 +692,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "pipeline_full": (q_pipeline_full, None),       # rows-only: fuzzy layer
+    "pipeline_grade_cols": (q_pipeline_grade_cols, _sql_pipeline_grade_cols()),
     "wer_scrub_effect": (q_wer_scrub_effect, None),  # rows-only: DP alignment
 }
 

@@ -31,7 +31,11 @@ def set_arrow_batch(spark, rows: int) -> None:
 
 
 def get_spark(app: str = "pii_scrub", master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """`extra_conf` merges last (used by scaling_bench for local-cluster
+    executor memory / PYTHONPATH; on a real cluster spark-submit owns
+    these)."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
@@ -49,6 +53,8 @@ def get_spark(app: str = "pii_scrub", master: str | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -49,11 +49,16 @@ def test_scrubbed_text_equality(results, oracle):
 
 
 def test_keep_and_status_agreement(results, oracle):
-    """North rule asks F1>=0.99; we assert exact agreement on all rows."""
-    for cid, (_, exp) in oracle.items():
+    """North rule asks F1>=0.99; we assert exact agreement on all rows.
+    The pipeline runs with audio verify on, so the expected status is the
+    worst-of combine of the text oracle and decode integrity (wav rows
+    decode, opus rows fail by construction)."""
+    for cid, (row, exp) in oracle.items():
         r = results[cid]
-        assert r["qa_status"] == exp["qa_status"], cid
-        assert bool(r["keep"]) == exp["keep"], cid
+        want_status = core.combine_status(exp["qa_status"], row.codec == "wav")
+        want_keep = exp["keep"] and want_status == "PASS"
+        assert r["qa_status"] == want_status, cid
+        assert bool(r["keep"]) == want_keep, cid
         assert r["pii_count"] == exp["pii_count"], cid
         assert r["verify_pii_count"] == exp["verify_pii_count"], cid
 
@@ -105,6 +110,42 @@ def test_decode_flags(results):
         else:  # opus → captured error, row still present (continue-on-error)
             assert not r["decode_ok"]
             assert r["stage"] == "decode" and "codec" in r["error"]
+
+
+def test_audio_integrity_fuses_into_grade(spark):
+    """Worst-of rule (reference src/verifier.py:41-55): a clip whose
+    audio cannot be decoded must grade REVIEW_REQUIRED and be dropped
+    even when its text passes — and FAIL text stays FAIL."""
+    pdf = datagen.clips_pandas(80, seed=5, with_audio=True)
+    ok = [r for r in pdf.itertuples()
+          if r.codec == "wav" and core.process_transcript(r.transcript)["keep"]]
+    row = ok[0]
+    corrupt = bytes(row.bytes)[:20]  # truncated RIFF header → decode error
+    df = spark.createDataFrame(
+        [("good", bytes(row.bytes), row.sr_hz, row.dur_ms, "wav", row.transcript),
+         ("corrupt", corrupt, row.sr_hz, row.dur_ms, "wav", row.transcript),
+         ("nullbytes", None, row.sr_hz, row.dur_ms, "wav", row.transcript)],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string")
+    out = {r["clip_id"]: r
+           for r in apply_pipeline(df, PipelineConfig(with_ppl=False,
+                                                      salt_partitions=2)).collect()}
+    assert out["good"]["qa_status"] == "PASS" and out["good"]["keep"]
+    for cid in ("corrupt", "nullbytes"):
+        assert not out[cid]["decode_ok"], cid
+        assert out[cid]["qa_status"] == "REVIEW_REQUIRED", cid
+        assert not out[cid]["keep"], cid
+
+
+def test_combine_status_worst_of():
+    """Reference overall_status ordering (src/verifier.py:41-55)."""
+    for ts in ("PASS", "PASS_WITH_NOTE", "REVIEW_REQUIRED", "FAIL"):
+        assert core.combine_status(ts, None) == ts       # audio not verified
+        assert core.combine_status(ts, True) == ts       # audio PASS
+    assert core.combine_status("PASS", False) == "REVIEW_REQUIRED"
+    assert core.combine_status("PASS_WITH_NOTE", False) == "REVIEW_REQUIRED"
+    assert core.combine_status("REVIEW_REQUIRED", False) == "REVIEW_REQUIRED"
+    assert core.combine_status("FAIL", False) == "FAIL"
 
 
 def test_manifest_and_report(spark):
