@@ -37,6 +37,50 @@ def scrub_stream(spark: SparkSession, source_dir: str, out_dir: str,
             .start())
 
 
+SESSION_GAP_S = 1800  # 30-min inactivity gap (same as queries.q_user_sessions)
+
+_SESS_OUT_SCHEMA = "user_id long, n_sessions long, n_events long"
+_SESS_STATE_SCHEMA = "last_ts double, n_sessions long, n_events long"
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: the
+    streaming twin of the batch sessionization window (queries.
+    q_user_sessions). State per user_id carries (last event time, session
+    count, event count); a new session opens when the gap to the previous
+    event exceeds `gap_s`. Emits the running per-user totals each
+    micro-batch (update mode), so the LAST row per user equals the batch
+    answer once the backlog drains — tests/test_streaming_multimodal.py
+    pins that equality across multi-batch triggers.
+
+    Scale shape: state is one tiny tuple per user key, hash-partitioned
+    by user_id across executors; Spark's state store checkpoints it per
+    micro-batch (exactly-once across restarts)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+        for t in ts:
+            tv = t.timestamp()
+            if last_ts is None or tv - last_ts > gap_s:
+                n_sessions += 1
+            last_ts = tv
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_sessions": [n_sessions],
+                            "n_events": [n_events]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, _SESS_OUT_SCHEMA, _SESS_STATE_SCHEMA,
+        "update", GroupStateTimeout.NoTimeout)
+
+
 def events_windowed_stream(events: DataFrame, watermark: str = "2 minutes",
                            window: str = "1 minute") -> DataFrame:
     """Watermarked tumbling-window counts per event_type (streaming agg

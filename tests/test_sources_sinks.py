@@ -85,3 +85,20 @@ def test_bleep_passthrough_without_spans(spark):
             F.expr("CAST(array() AS array<struct<start_s:double,end_s:double>>)")))
     for r in df.select("bytes", "bleeped_bytes").collect():
         assert bytes(r["bleeped_bytes"]) == bytes(r["bytes"])
+
+
+def test_ascii_report(spark):
+    """Visualizer analog (reference scripts/visualize_results.py): report
+    renders from the results table with status + category charts."""
+    from pii_redaction_pipeline_spark.pipeline import PipelineConfig, apply_pipeline
+    from pii_redaction_pipeline_spark.report import processing_report, transcript_view
+
+    clips = datagen.clips_df(spark, 80, seed=21, partitions=4, with_audio=False)
+    results = apply_pipeline(clips, PipelineConfig(with_audio_verify=False,
+                                                   with_ppl=False))
+    rep = processing_report(results)
+    assert "VERIFICATION STATUS" in rep and "PII BY CATEGORY" in rep
+    assert "Total clips:      80" in rep
+    row = results.where("pii_count > 0").limit(1).collect()[0]
+    view = transcript_view(row)
+    assert row["clip_id"] in view and "Redacted:" in view

@@ -14,6 +14,7 @@ from pii_redaction_pipeline_spark.functions.multimodal import (
 from pii_redaction_pipeline_spark.streaming.pipeline import (
     events_windowed_stream,
     scrub_stream,
+    sessionize_stream,
 )
 
 N = 120
@@ -50,6 +51,64 @@ def test_events_windowed_stream_plan(spark):
     assert len(out) > 0
     total = sum(r["n_events"] for r in out)
     assert total == ev.count()
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    sessionization over a MULTI-batch stream must equal the batch window
+    formulation (queries.q_user_sessions) once the backlog drains —
+    i.e. state carries last_ts/counters correctly across micro-batches."""
+    import os
+    import time as time_mod
+
+    from pyspark.sql import functions as F
+
+    from pii_redaction_pipeline_spark.queries import q_user_sessions
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    # 4 chronological chunk files with increasing mtimes: the file source
+    # orders by timestamp, so micro-batches arrive in event-time order
+    # (the operator's correctness precondition, like any sessionizer fed
+    # by an ordered log)
+    import glob
+    import shutil
+
+    rows = ev.orderBy("ts", "event_id").collect()
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        part = rows[i * chunk:(i + 1) * chunk]
+        if not part:
+            continue
+        tmp = str(tmp_path / f"_stage{i}")
+        spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(tmp)
+        target = str(src / f"chunk_{i:02d}.parquet")
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], target)
+        shutil.rmtree(tmp)
+        t = time_mod.time() - 40 + i * 10
+        os.utime(target, (t, t))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src)))
+    q = (sessionize_stream(stream)
+         .writeStream.format("memory").queryName("sess")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    # update mode emits running totals; the max per user is the final one
+    got = {r["user_id"]: (r["ns"], r["ne"])
+           for r in spark.table("sess")
+           .groupBy("user_id")
+           .agg(F.max("n_sessions").alias("ns"), F.max("n_events").alias("ne"))
+           .collect()}
+    want = {r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in q_user_sessions(spark, sf).collect()}
+    assert got == want
 
 
 def test_audio_features(spark):
