@@ -27,7 +27,10 @@ SHINGLE_WORDS = 3
 # shingles
 # ---------------------------------------------------------------------------
 
-_SPARK_TOKS = "filter(split(coalesce(text,''), '\\\\s+'), x -> x != '')"
+# array_remove, not filter(x -> x != ''): same result, but array_remove
+# is a plain codegen collection op while filter carries an interpreted
+# lambdafunction (plan-asserted absent in tests/test_plan_shapes.py)
+_SPARK_TOKS = "array_remove(split(coalesce(text,''), '\\\\s+'), '')"
 _DUCK_TOKS = ("list_filter(string_split_regex(coalesce(text,''), '\\s+'), "
               "x -> x <> '')")
 

@@ -66,7 +66,7 @@ def spark_fuzzy_vocab(docs: DataFrame, spark: SparkSession) -> DataFrame:
     distinct-token vocab, broadcast candidate dim, levenshtein join with
     the reference gates, window min by (distance, term order)."""
     toks = docs.select(F.explode(
-        F.expr("filter(split(coalesce(text,''), '\\\\s+'), x -> x != '')")
+        F.expr("array_remove(split(coalesce(text,''), '\\\\s+'), '')")
     ).alias("w"))
     vocab = (toks.select(F.expr(norm_sql("w")).alias("token")).distinct()
              .where(f"length(token) >= 5 AND token NOT IN ({_BLACKLIST_IN})"))

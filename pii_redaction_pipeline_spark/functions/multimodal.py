@@ -112,3 +112,54 @@ def image_features(df: DataFrame, payload_col: str = "bytes",
 
     return df.select("clip_id", payload_col).mapInPandas(
         extract, schema=IMAGE_FEATURES_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType(), False),
+    T.StructField("frame_idx", T.IntegerType(), True),
+    T.StructField("ts_ms", T.DoubleType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("mean_luma", T.DoubleType(), True),
+])
+
+
+def sample_video_frames(payload: bytes, n_frames: int,
+                        fake: bool = False) -> list[tuple[int, int, float]]:
+    """STUB: no video codecs in this container. With fake=True returns
+    deterministic per-frame (width, height, mean_luma) tuples derived
+    from the content hash + frame index — the contract a real
+    frame-sampler (seek → decode keyframe → downscale) would fill."""
+    if not fake:
+        raise NotImplementedError(
+            "video decoding requires a codec library not present in this "
+            "environment; pass fake=True for the deterministic test double")
+    out = []
+    for k in range(n_frames):
+        h = hashlib.md5((payload or b"") + k.to_bytes(4, "little")).digest()
+        out.append((64 + h[0] % 192, 64 + h[1] % 192, h[2] / 255.0))
+    return out
+
+
+def video_frame_features(df: DataFrame, payload_col: str = "bytes",
+                         n_frames: int = 4, fps: float = 1.0,
+                         fake: bool = True) -> DataFrame:
+    """Frame-sampling operator shape: one binary payload row explodes to
+    n_frames feature rows (mapInPandas — the payload never leaves the
+    executor, and the 1→N row fan-out happens inside the Arrow batch,
+    which is how a real ffmpeg-backed sampler would plug in)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for cid, payload in zip(b["clip_id"], b[payload_col]):
+                frames = sample_video_frames(
+                    bytes(payload) if payload is not None else b"",
+                    n_frames, fake=fake)
+                for k, (w, h, luma) in enumerate(frames):
+                    rows.append((cid, k, k * 1000.0 / fps, w, h, luma))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              VIDEO_FRAMES_SCHEMA.fields])
+
+    return df.select("clip_id", payload_col).mapInPandas(
+        extract, schema=VIDEO_FRAMES_SCHEMA)

@@ -22,7 +22,9 @@ _TOKENS = "_q_tokens"
 
 
 def _tokens(text: Column) -> Column:
-    return F.filter(F.split(F.coalesce(text, F.lit("")), r"\s+"), lambda x: x != "")
+    # array_remove == filter(x -> x != '') but stays in codegen (no
+    # interpreted lambdafunction on the per-row hot path)
+    return F.array_remove(F.split(F.coalesce(text, F.lit("")), r"\s+"), "")
 
 
 def with_quality(df, text_col: str = "transcript"):

@@ -423,8 +423,8 @@ FROM documents GROUP BY 1
 def q_token_stats(spark, sf_dir):
     """Whitespace + BPE-ish regex token counts per doc."""
     df = _read(spark, sf_dir, "documents")
-    toks_ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
-                       lambda x: x != "")
+    toks_ws = F.array_remove(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"), "")
     return df.select(
         "doc_id",
         F.size(toks_ws).cast("bigint").alias("ws_tokens"),
@@ -525,10 +525,9 @@ def q_doc_fingerprint(spark, sf_dir):
     from .functions.dedup import shingle_rows
 
     df = _read(spark, sf_dir, "documents")
-    return (shingle_rows(df, n_words=5)
-            .groupBy("doc_id")
-            .agg(F.min(F.md5(F.col("s").cast("binary")))
-                 .alias("fingerprint")))
+    hashed = shingle_rows(df, n_words=5).select(
+        "doc_id", F.md5(F.col("s").cast("binary")).alias("h"))
+    return hashed.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
 
 
 _DUCK_FP_TOKS = _DUCK_TOKS

@@ -39,6 +39,46 @@ def test_column_pruning_reaches_scan(spark):
     assert "n_chars" not in read_schema and "source" not in read_schema
 
 
+def test_hash_once_invariants(spark):
+    """Hash-projection regression guards: the digest must appear ONCE per
+    element in the physical plan — Catalyst does not CSE across aggregate
+    expressions, so a second md5() in the plan means per-element
+    recomputation is back (the round-1 simhash computed it 16×)."""
+    from pii_redaction_pipeline_spark.queries import (
+        q_doc_fingerprint,
+        q_minhash_signatures,
+        q_simhash,
+    )
+
+    assert plan_of(q_simhash(spark, SF)).count("md5(") == 1
+    # minhash derives all 8 hash functions from one double-digest
+    assert plan_of(q_minhash_signatures(spark, SF)).count("md5(") == 2
+    assert plan_of(q_doc_fingerprint(spark, SF)).count("md5(") == 1
+
+
+def test_dedup_similarity_no_interpreted_lambdas_or_cartesian(spark):
+    """The dedup/similarity family must stay in codegen joins+aggs: no
+    interpreted lambdafunction() expressions, no cartesian products."""
+    from pii_redaction_pipeline_spark.queries import (
+        q_ann_cosine_topk,
+        q_embedding_neardup,
+        q_jaccard_pairs,
+        q_minhash_signatures,
+        q_simhash,
+    )
+
+    for q in (q_simhash, q_minhash_signatures, q_ann_cosine_topk,
+              q_embedding_neardup):
+        plan = plan_of(q(spark, SF))
+        assert "lambdafunction" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__  # no per-row python
+    # jaccard legitimately uses array_intersect/union (codegen builtins),
+    # but still no cartesian
+    assert "CartesianProduct" not in plan_of(q_jaccard_pairs(spark, SF))
+
+
 def test_scrub_pipeline_python_stages_fused(spark, tmp_path):
     """Quality/langid/grade stay JVM-side (WholeStageCodegen over the
     parquet scan); Catalyst fuses the scrub and ppl pandas UDFs into a

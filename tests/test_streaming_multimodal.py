@@ -143,3 +143,22 @@ def test_image_features_fake_deterministic(spark):
          for r in image_features(clips).collect()}
     assert a == b
     assert all(16 <= w < 80 for w, _, _ in a.values())
+
+
+def test_video_frame_sample_stub(spark):
+    from pii_redaction_pipeline_spark.functions.multimodal import (
+        sample_video_frames,
+        video_frame_features,
+    )
+
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(b"abc", 2)
+    clips = datagen.clips_df(spark, 12, seed=9, partitions=2)
+    rows = video_frame_features(clips, n_frames=4).collect()
+    assert len(rows) == 12 * 4                       # 1→N fan-out per payload
+    a = {(r["clip_id"], r["frame_idx"]): (r["width"], r["height"], r["mean_luma"])
+         for r in rows}
+    b = {(r["clip_id"], r["frame_idx"]): (r["width"], r["height"], r["mean_luma"])
+         for r in video_frame_features(clips, n_frames=4).collect()}
+    assert a == b                                    # deterministic fake
+    assert all(r["ts_ms"] == r["frame_idx"] * 1000.0 for r in rows)
