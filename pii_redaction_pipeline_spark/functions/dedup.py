@@ -195,6 +195,66 @@ WHERE jaccard >= {threshold}
 
 
 # ---------------------------------------------------------------------------
+# near-dup clusters: connected components over the verified pair graph
+# ---------------------------------------------------------------------------
+
+def spark_neardup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in at least one verified
+    near-dup pair; cluster_id = min doc_id of the connected component.
+    This is the canonicalization step a production dedup needs: LSH
+    candidates → Jaccard verify → component id → keep one doc per
+    cluster.
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own label and its neighbors' labels (one equi-join + one
+    map-side-combining min aggregate per round); converges in
+    O(component diameter) rounds — near-dup components are tiny and
+    dense in practice, so this beats the large-star/small-star machinery
+    it would take to bound rounds at O(log n). localCheckpoint truncates
+    the lineage per round so plans stay flat."""
+    pairs = spark_jaccard_pairs(docs, threshold).select("doc_a", "doc_b")
+    edges = (pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+             .toDF("src", "dst").localCheckpoint())
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id")).localCheckpoint())
+    while True:
+        nb_min = (edges.join(labels, edges.src == labels.doc_id)
+                  .groupBy("dst").agg(F.min("label").alias("nb_label")))
+        new_labels = (labels.join(nb_min, labels.doc_id == nb_min.dst, "left")
+                      .select("doc_id",
+                              F.least("label", F.coalesce("nb_label", "label"))
+                              .alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def duck_neardup_clusters_sql(threshold: float = 0.5) -> str:
+    """Oracle: transitive closure by recursive CTE (fine at oracle scale;
+    the Spark side uses label propagation instead — same fixpoint)."""
+    return f"""
+WITH RECURSIVE jpairs AS (
+  SELECT doc_a, doc_b FROM ({duck_jaccard_pairs_sql(threshold)})
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION
+  SELECT doc_b, doc_a FROM jpairs
+), reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash (16-bit, md5-nibble variant — SQL-expressible in both engines)
 #
 # The per-token hash is projected ONCE as a 16-bit int (`hv`, from the

@@ -466,6 +466,13 @@ def q_simhash(spark, sf_dir):
     return spark_simhash(_read(spark, sf_dir, "documents"))
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Connected components over verified near-dup pairs (iterative
+    min-label propagation; driver oracle = recursive-CTE closure)."""
+    from .functions.dedup import spark_neardup_clusters
+    return spark_neardup_clusters(_read(spark, sf_dir, "documents"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from .functions.similarity import spark_cosine_topk
     return spark_cosine_topk(_read(spark, sf_dir, "embeddings"))
@@ -701,6 +708,7 @@ def _register_dedup_similarity() -> None:
         duck_jaccard_pairs_sql,
         duck_lsh_pairs_sql,
         duck_minhash_sql,
+        duck_neardup_clusters_sql,
         duck_simhash_sql,
     )
     from .functions.fuzzy_sql import duck_fuzzy_vocab_sql
@@ -715,6 +723,7 @@ def _register_dedup_similarity() -> None:
         "minhash_signatures": (q_minhash_signatures, duck_minhash_sql()),
         "neardup_pairs_minhash": (q_neardup_pairs_minhash, duck_lsh_pairs_sql()),
         "jaccard_pairs": (q_jaccard_pairs, duck_jaccard_pairs_sql()),
+        "neardup_clusters": (q_neardup_clusters, duck_neardup_clusters_sql()),
         "simhash": (q_simhash, duck_simhash_sql()),
         "ann_cosine_topk": (q_ann_cosine_topk, duck_cosine_topk_sql()),
         "embedding_neardup": (q_embedding_neardup, duck_neardup_pairs_sql()),

@@ -63,3 +63,34 @@ def test_exact_topk_partial_topk_is_exact(planted):
             for r in spark_cosine_topk(planted.repartition(16), k=5).collect()}
     assert one == many
     assert len(one) == 8 * 5
+
+
+def test_neardup_clusters_transitive(spark):
+    """A~B and B~C near-dup pairs (A and C NOT similar enough directly)
+    must land in ONE cluster labeled min(doc_id) — the propagation has to
+    cross the missing edge transitively."""
+    from pii_redaction_pipeline_spark.functions.dedup import (
+        spark_jaccard_pairs,
+        spark_neardup_clusters,
+    )
+
+    # sliding 18-word windows, stride 3: J(A,B)=J(B,C)=0.684 >= 0.5,
+    # J(A,C)=0.455 < 0.5, and both chain pairs share an LSH band under
+    # the (deterministic) md5 scheme — verified offline
+    W = [f"w{i:02d}" for i in range(40)]
+    texts = [
+        (10, " ".join(W[0:18])),    # A
+        (11, " ".join(W[3:21])),    # B
+        (12, " ".join(W[6:24])),    # C
+        (50, "totally different content here nothing shared at all ok"),
+        (51, "totally different content here nothing shared at all ok"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b)
+             for r in spark_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (10, 11) in pairs and (11, 12) in pairs
+    assert (10, 12) not in pairs                      # the transitive gap
+    clusters = {r.doc_id: r.cluster_id
+                for r in spark_neardup_clusters(docs, threshold=0.5).collect()}
+    assert clusters[10] == clusters[11] == clusters[12] == 10
+    assert clusters[50] == clusters[51] == 50
