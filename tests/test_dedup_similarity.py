@@ -94,3 +94,21 @@ def test_neardup_clusters_transitive(spark):
                 for r in spark_neardup_clusters(docs, threshold=0.5).collect()}
     assert clusters[10] == clusters[11] == clusters[12] == 10
     assert clusters[50] == clusters[51] == 50
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(planted):
+    """Multi-probe (own bucket + Hamming-1 neighbors) must recall at
+    least as much of the exact top-k as single-probe, per probe."""
+    from pii_redaction_pipeline_spark.functions.similarity import (
+        spark_cosine_topk_ivf,
+        spark_cosine_topk_ivf_multiprobe,
+    )
+
+    exact = {(r.q_id, r.n_id)
+             for r in spark_cosine_topk(planted, k=3).collect()}
+    single = {(r.q_id, r.n_id)
+              for r in spark_cosine_topk_ivf(planted, k=3).collect()}
+    multi = {(r.q_id, r.n_id)
+             for r in spark_cosine_topk_ivf_multiprobe(planted, k=3).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) >= len(single)
