@@ -1,12 +1,20 @@
 """Char-bigram perplexity as a vectorized pandas UDF (KenLM-style score).
 
-The log-prob table is built once at import from the deterministic in-repo
-corpus (core._build_ppl_table) and shipped in the UDF closure. The batch
-kernel is numpy: chars → ids → table gather → segment means, no per-row
-Python string loops.
+Two backends behind one UDF:
+  - KenLM, when the library is installed AND $KENLM_MODEL points at an
+    .arpa/.bin n-gram model: loaded once per Python worker, scored per
+    row with `model.perplexity` (KenLM's C++ scorer — the production
+    path on a real cluster).
+  - the deterministic in-repo char-bigram table otherwise (this sandbox
+    has no KenLM; the table is built once at import from
+    core._build_ppl_table and shipped in the UDF closure). The batch
+    kernel is numpy: chars → ids → table gather → segment means, no
+    per-row Python string loops.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
@@ -15,6 +23,24 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql import types as T
 
 from .. import core
+
+_KENLM_MODEL = None  # per-worker memo
+
+
+def _kenlm_model():
+    global _KENLM_MODEL
+    if _KENLM_MODEL is not None:
+        return _KENLM_MODEL if _KENLM_MODEL != "unavailable" else None
+    path = os.environ.get("KENLM_MODEL", "")
+    try:
+        import kenlm  # not in this container; present on prod images
+        if path and os.path.exists(path):
+            _KENLM_MODEL = kenlm.Model(path)
+            return _KENLM_MODEL
+    except ImportError:
+        pass
+    _KENLM_MODEL = "unavailable"
+    return None
 
 _V = len(core._PPL_VOCAB)
 _CHAR_TO_ID = np.full(128, _V, dtype=np.int32)  # OOV bucket = _V
@@ -50,6 +76,11 @@ def _ppl_one(text) -> float:
 
 @pandas_udf(T.DoubleType())
 def ppl_udf(transcript: pd.Series) -> pd.Series:
+    model = _kenlm_model()
+    if model is not None:
+        return pd.Series([
+            float(model.perplexity(" ".join((t or "").split())))
+            for t in transcript])
     return pd.Series(ppl_batch(transcript))
 
 

@@ -304,3 +304,24 @@ class TestWER:
     def test_empty_reference(self):
         assert core.wer("", "")["wer"] == 0.0
         assert core.wer("", "word")["wer"] == float("inf")
+
+
+def test_model_swap_points_fall_back(monkeypatch, tmp_path):
+    """fastText/KenLM backends activate only when BOTH the library and
+    the model file exist; in this container (no libs) the loaders must
+    return None even with env vars set, falling back to the in-repo
+    deterministic scorers the oracles mirror."""
+    from pii_redaction_pipeline_spark.functions import langid, perplexity
+
+    fake = tmp_path / "fake.bin"
+    fake.write_bytes(b"not a model")
+    monkeypatch.setenv("FASTTEXT_LANGID_MODEL", str(fake))
+    monkeypatch.setenv("KENLM_MODEL", str(fake))
+    langid._FT_MODEL = None
+    perplexity._KENLM_MODEL = None
+    try:
+        assert langid._fasttext_model() is None
+        assert perplexity._kenlm_model() is None
+    finally:
+        langid._FT_MODEL = None
+        perplexity._KENLM_MODEL = None
