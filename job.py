@@ -3,12 +3,14 @@ multi-executor cluster).
 
     spark-submit --py-files pii_redaction_pipeline_spark.zip job.py \
         --input /path/or/catalog.db.clips --output /warehouse/scrub_out \
-        --buckets 256 [--resume] [--no-audio-verify] [--max-buckets K]
+        --buckets 256 [--no-audio-verify] [--max-buckets K]
 
 Reads the clips table (Iceberg catalog table name if it contains no "/",
 else a parquet path), runs the filter+scrub pipeline over not-yet-done
-buckets (per-partition lineage; idempotent resume), writes results +
-manifest + a QA report row.
+buckets (per-partition lineage), writes results + manifest + a QA report
+row + an ASCII processing report. Resume is AUTOMATIC: re-submitting the
+same command skips DONE buckets and finishes the rest (idempotent —
+tests/test_spark_submit_e2e.py replays kill+resume under spark-submit).
 
 Packaging: `python job.py --make-zip` emits the --py-files archive.
 The archive is NOT tracked in git (a committed copy inevitably drifts
@@ -92,6 +94,11 @@ def main(argv: list[str] | None = None) -> None:
             f"{args.output}/manifest")
         qa_report_df(results).write.mode("overwrite").parquet(
             f"{args.output}/qa_report")
+        from pii_redaction_pipeline_spark.report import processing_report
+        report = processing_report(results)
+        if "://" not in args.output:  # driver-local file only for local paths
+            Path(args.output, "processing_report.txt").write_text(report + "\n")
+        print(report)
     print(json.dumps(info))
     spark.stop()
 
