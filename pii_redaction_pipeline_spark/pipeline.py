@@ -48,9 +48,15 @@ def salted_repartition(df: DataFrame, n_partitions: int,
     Size n_partitions at ~8× the core count: the Python scrub stage has
     heavy-tailed per-row cost, and coarse one-task-per-core partitioning
     leaves cores idle behind stragglers (measured 2× at local[32] on 1M
-    clips: 43k → 85k clips/s going 1× → 8×)."""
-    return df.repartition(n_partitions, F.pmod(F.hash(F.col(key_col)),
-                                               F.lit(n_partitions)))
+    clips: 43k → 85k clips/s going 1× → 8×).
+
+    Repartition directly on the key column (Spark hash-partitions its
+    value): every ROW lands independently, giving uniform byte balance
+    (plan-asserted in tests/test_plan_shapes.py). Do NOT pre-bucket with
+    pmod(hash(key), n) — repartition hashes the expression AGAIN, so n
+    pre-buckets collide into fewer partitions (measured: 16 salt values
+    → only 10 non-empty partitions, 6 idle tasks)."""
+    return df.repartition(n_partitions, F.col(key_col))
 
 
 def apply_pipeline(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
