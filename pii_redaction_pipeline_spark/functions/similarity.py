@@ -79,6 +79,9 @@ def spark_cosine_topk(emb: DataFrame, n_probes: int = 8, k: int = 5) -> DataFram
     through one matmul + per-batch top-k per Arrow batch."""
     rows = (emb.where(F.col("vec_id") < n_probes)
             .select("vec_id", "embedding").collect())
+    if not rows:  # empty probe set → empty result, not a numpy crash
+        return emb.sparkSession.createDataFrame(
+            [], "q_id long, n_id long, sim double, rank long")
     rows.sort(key=lambda r: r["vec_id"])
     q_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in rows], dtype=np.float64)

@@ -112,3 +112,9 @@ def test_ivf_multiprobe_recall_dominates_single_probe(planted):
              for r in spark_cosine_topk_ivf_multiprobe(planted, k=3).collect()}
     assert len(multi & exact) >= len(single & exact)
     assert len(multi) >= len(single)
+
+
+def test_exact_topk_empty_probe_set(planted):
+    """No vectors under the probe-id cutoff → empty result, not a crash."""
+    out = spark_cosine_topk(planted.where("vec_id >= 100"), n_probes=8).collect()
+    assert out == []
