@@ -3,10 +3,25 @@ first-class ops): exact hash, MinHash+LSH banding, n-gram Jaccard,
 SimHash — each emitted as PySpark Columns AND DuckDB oracle SQL from the
 same constants so the two cannot drift.
 
-Hash primitive: md5 hex substrings (lexicographic min over shingles is a
-valid min-hash) — chosen because md5 is the one hash both engines compute
-identically; at cluster scale you would swap in xxhash64 via
-F.xxhash64 and keep the structure.
+Hash primitive is pluggable (`hash_impl` on every minhash-family op):
+  - "md5" (default): hex substrings — the one hash both engines compute
+    identically, so the DuckDB oracle can verify values bit-for-bit.
+    Lexicographic min over fixed-width lowercase hex == numeric min, a
+    valid min-hash.
+  - "xxhash64": Spark's native 64-bit xxHash — no JVM→hex string
+    materialization, ~half the digest work of two md5s; the production
+    choice at 10^12 docs. Not SQL-expressible in DuckDB, so oracle rows
+    stay on md5; a parity test pins that both modes agree on exact-dup
+    signatures and LSH pair structure.
+
+Both modes derive the {N_HASHES} min-hash functions as 32-bit slices of
+two 128-bit/64-bit digests. 32-bit minima admit birthday collisions among
+distinct shingle sets at very large corpus scale — a COST tradeoff only
+(more false-positive candidate pairs for the exact Jaccard verify to
+reject; results stay correct). If candidate volume becomes the bottleneck
+at production scale, widen to 64-bit slices (4 digests) — the
+`lsh_bucket_stats` metrics emitted next to the lineage table are the
+monitor for exactly that decision.
 
 Scale notes: minhash signatures are one narrow shuffle-free projection;
 LSH pair generation shuffles on (band_idx, band_sig) — the classic
@@ -92,15 +107,47 @@ _HASH_HEX = 8  # hex chars per derived hash value (32 bits)
 _SPARK_SHINGLE_HASH = "concat(md5(concat('0|', s)), md5(concat('1|', s)))"
 _DUCK_SHINGLE_HASH = "md5('0|' || s) || md5('1|' || s)"
 
+HASH_IMPLS = ("md5", "xxhash64")
 
-def spark_minhash_signatures(docs: DataFrame) -> DataFrame:
-    h = shingle_rows(docs).select(
-        "doc_id", F.expr(_SPARK_SHINGLE_HASH).alias("h"))
-    mins = h.groupBy("doc_id").agg(*[
-        F.min(F.expr(f"substr(h, {1 + _HASH_HEX * k}, {_HASH_HEX})"))
-        .alias(f"h{k}") for k in range(N_HASHES)])
-    bands = [F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
-             .alias(f"band_{b}") for b in range(N_BANDS)]
+
+def _minhash_mins(sh: DataFrame, hash_impl: str) -> DataFrame:
+    """(doc_id, h0..h{N_HASHES-1}) min-hash values from shingle rows.
+    Either mode projects the digest(s) ONCE per shingle and derives all
+    N_HASHES values by cheap slicing inside the same hash aggregate
+    (map-side combining min) — never one digest per hash function."""
+    if hash_impl == "md5":
+        h = sh.select("doc_id", F.expr(_SPARK_SHINGLE_HASH).alias("h"))
+        return h.groupBy("doc_id").agg(*[
+            F.min(F.expr(f"substr(h, {1 + _HASH_HEX * k}, {_HASH_HEX})"))
+            .alias(f"h{k}") for k in range(N_HASHES)])
+    if hash_impl == "xxhash64":
+        # four seeded 64-bit digests → two DISJOINT 32-bit halves each =
+        # 8 independent-ish 32-bit min-hash values, bigint end-to-end
+        # (no hex string materialization, no md5 rounds)
+        n_digests = N_HASHES // 2
+        h = sh.select(
+            "doc_id",
+            *[F.expr(f"xxhash64(concat('{d}|', s))").alias(f"d{d}")
+              for d in range(n_digests)])
+        slices = [
+            F.expr(f"(shiftrightunsigned(d{k // 2}, {32 * (1 - k % 2)})"
+                   f" & 4294967295)")
+            for k in range(N_HASHES)]
+        return h.groupBy("doc_id").agg(*[
+            F.min(slices[k]).alias(f"h{k}") for k in range(N_HASHES)])
+    raise ValueError(f"hash_impl must be one of {HASH_IMPLS}, got {hash_impl!r}")
+
+
+def spark_minhash_signatures(docs: DataFrame,
+                             hash_impl: str = "md5") -> DataFrame:
+    mins = _minhash_mins(shingle_rows(docs), hash_impl)
+    if hash_impl == "md5":
+        # oracle-checked band format — byte-identical to the DuckDB SQL
+        bands = [F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+                 .alias(f"band_{b}") for b in range(N_BANDS)]
+    else:
+        bands = [F.concat_ws("|", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+                 .alias(f"band_{b}") for b in range(N_BANDS)]
     return mins.select("doc_id", *bands)
 
 
@@ -118,13 +165,13 @@ _mins AS (SELECT doc_id, {mins} FROM _hashed GROUP BY doc_id)
 SELECT doc_id, {bands} FROM _mins)"""
 
 
-def spark_lsh_pairs(docs: DataFrame) -> DataFrame:
+def spark_lsh_pairs(docs: DataFrame, hash_impl: str = "md5") -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band signature.
     Shuffle is on (band_idx, band_sig) — the scalable bucket join."""
     # localCheckpoint: the self-join would otherwise recompute the full
     # signature pipeline on both sides (ReuseExchange does not cover the
     # pre-shuffle projection)
-    sig = spark_minhash_signatures(docs).localCheckpoint()
+    sig = spark_minhash_signatures(docs, hash_impl).localCheckpoint()
     melted = sig.select(
         "doc_id",
         F.explode(F.array(*[
@@ -157,9 +204,10 @@ WHERE a.doc_id < b.doc_id
 # n-gram Jaccard over candidate pairs
 # ---------------------------------------------------------------------------
 
-def spark_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def spark_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        hash_impl: str = "md5") -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard."""
-    pairs = spark_lsh_pairs(docs)
+    pairs = spark_lsh_pairs(docs, hash_impl)
     sh = (shingle_rows(docs)
           .groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
           .localCheckpoint())
@@ -198,39 +246,85 @@ WHERE jaccard >= {threshold}
 # near-dup clusters: connected components over the verified pair graph
 # ---------------------------------------------------------------------------
 
-def spark_neardup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Free the RDD blocks behind a localCheckpoint()ed DataFrame.
+    DataFrame.unpersist() goes through the SQL CacheManager and does not
+    touch the RDD-level persist that localCheckpoint creates, so without
+    this every superseded round's blocks would sit in executor memory for
+    the life of the job. Best-effort: on any py4j/plan-shape surprise the
+    round cap still bounds live blocks to O(log n)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def spark_neardup_clusters(docs: DataFrame, threshold: float = 0.5,
+                           hash_impl: str = "md5",
+                           max_rounds: int | None = None,
+                           stats: dict | None = None) -> DataFrame:
     """(doc_id, cluster_id) for every doc in at least one verified
     near-dup pair; cluster_id = min doc_id of the connected component.
     This is the canonicalization step a production dedup needs: LSH
     candidates → Jaccard verify → component id → keep one doc per
     cluster.
 
-    Iterative min-label propagation: each round every vertex takes the
-    min of its own label and its neighbors' labels (one equi-join + one
-    map-side-combining min aggregate per round); converges in
-    O(component diameter) rounds — near-dup components are tiny and
-    dense in practice, so this beats the large-star/small-star machinery
-    it would take to bound rounds at O(log n). localCheckpoint truncates
-    the lineage per round so plans stay flat."""
-    pairs = spark_jaccard_pairs(docs, threshold).select("doc_a", "doc_b")
+    Min-label propagation WITH pointer jumping: each round every vertex
+    takes (a) the min of its own and its neighbors' labels (one
+    equi-join + one map-side-combining min aggregate), then (b) its
+    label's label (one self-join) — the pointer-doubling step that makes
+    the propagated distance double per round, bounding convergence at
+    O(log component-diameter) rounds instead of O(diameter). Round 2's
+    plain propagation needed n rounds × full-edge joins on an n-node
+    chain (tests pin a 200-node path at ≤ 2·log2(n)+2 rounds now).
+
+    Per round: localCheckpoint (eager) truncates lineage so plans stay
+    flat, the superseded round's checkpoint blocks are explicitly freed,
+    and a hard round cap (default 2·ceil(log2(V))+5, far above the
+    pointer-jumping bound) raises instead of looping on adversarial
+    input."""
+    import math
+
+    pairs = (spark_jaccard_pairs(docs, threshold, hash_impl)
+             .select("doc_a", "doc_b"))
     edges = (pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
              .toDF("src", "dst").localCheckpoint())
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")).localCheckpoint())
+    n_vertices = labels.count()
+    cap = max_rounds or (2 * math.ceil(math.log2(max(n_vertices, 2))) + 5)
+    rounds = 0
     while True:
+        if rounds >= cap:
+            raise RuntimeError(
+                f"neardup_clusters did not converge in {cap} rounds "
+                f"({n_vertices} vertices) — input graph is pathological")
+        rounds += 1
         nb_min = (edges.join(labels, edges.src == labels.doc_id)
                   .groupBy("dst").agg(F.min("label").alias("nb_label")))
-        new_labels = (labels.join(nb_min, labels.doc_id == nb_min.dst, "left")
+        stepped = (labels.join(nb_min, labels.doc_id == nb_min.dst, "left")
+                   .select("doc_id",
+                           F.least("label", F.coalesce("nb_label", "label"))
+                           .alias("label")))
+        # pointer jumping: label ← min(label, label[label])
+        ptr = stepped.select(F.col("doc_id").alias("p_id"),
+                             F.col("label").alias("p_label"))
+        new_labels = (stepped.join(ptr, stepped.label == ptr.p_id, "left")
                       .select("doc_id",
-                              F.least("label", F.coalesce("nb_label", "label"))
+                              F.least("label", F.coalesce("p_label", "label"))
                               .alias("label"))
                       .localCheckpoint())
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "doc_id")
                    .where(F.col("n.label") != F.col("o.label")).count())
+        _unpersist_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
+    _unpersist_checkpoint(edges)
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["n_vertices"] = n_vertices
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

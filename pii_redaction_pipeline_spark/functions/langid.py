@@ -2,11 +2,16 @@
 vectorized pandas/Arrow UDFs").
 
 Two backends behind one UDF:
-  - fastText, when the library is installed AND $FASTTEXT_LANGID_MODEL
-    points at a model file (e.g. lid.176.bin): loaded ONCE per Python
-    worker (module-global memo — workers are long-lived and reused
-    across tasks), batch-predicted per Arrow batch. This is the
-    production path on a real cluster.
+  - fastText, when $PII_SPARK_PROD_BACKENDS=1 (explicit opt-in), the
+    library is installed AND $FASTTEXT_LANGID_MODEL points at a model
+    file (e.g. lid.176.bin): loaded ONCE per Python worker
+    (module-global memo — workers are long-lived and reused across
+    tasks), batch-predicted per Arrow batch. This is the production
+    path on a real cluster. The opt-in gate exists so the correctness
+    harness and tests stay deterministic even on hosts that happen to
+    have the model env vars set: oracle rows (langid_confidence,
+    pipeline_grade_cols) mirror the stand-in scorer, and an ambient
+    env var silently swapping backends would make hash checks fail.
   - the deterministic in-repo stand-in (core.langid's stopword-hit
     scorer) otherwise — this sandbox has no fastText, and the DuckDB
     oracle mirrors exactly this scorer.
@@ -35,6 +40,8 @@ _FT_MODEL = None  # per-worker memo: load once, reuse across tasks/batches
 def _fasttext_model():
     """fastText model or None (library or model file absent)."""
     global _FT_MODEL
+    if os.environ.get("PII_SPARK_PROD_BACKENDS") != "1":
+        return None  # explicit opt-in only — see module docstring
     if _FT_MODEL is not None:
         return _FT_MODEL if _FT_MODEL != "unavailable" else None
     path = os.environ.get("FASTTEXT_LANGID_MODEL", "")

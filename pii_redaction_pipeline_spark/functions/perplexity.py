@@ -1,10 +1,12 @@
 """Char-bigram perplexity as a vectorized pandas UDF (KenLM-style score).
 
 Two backends behind one UDF:
-  - KenLM, when the library is installed AND $KENLM_MODEL points at an
-    .arpa/.bin n-gram model: loaded once per Python worker, scored per
-    row with `model.perplexity` (KenLM's C++ scorer — the production
-    path on a real cluster).
+  - KenLM, when $PII_SPARK_PROD_BACKENDS=1 (explicit opt-in, same gate
+    as functions/langid.py — keeps the correctness harness deterministic
+    on hosts with ambient model env vars), the library is installed AND
+    $KENLM_MODEL points at an .arpa/.bin n-gram model: loaded once per
+    Python worker, scored per row with `model.perplexity` (KenLM's C++
+    scorer — the production path on a real cluster).
   - the deterministic in-repo char-bigram table otherwise (this sandbox
     has no KenLM; the table is built once at import from
     core._build_ppl_table and shipped in the UDF closure). The batch
@@ -29,6 +31,8 @@ _KENLM_MODEL = None  # per-worker memo
 
 def _kenlm_model():
     global _KENLM_MODEL
+    if os.environ.get("PII_SPARK_PROD_BACKENDS") != "1":
+        return None  # explicit opt-in only — see module docstring
     if _KENLM_MODEL is not None:
         return _KENLM_MODEL if _KENLM_MODEL != "unavailable" else None
     path = os.environ.get("KENLM_MODEL", "")

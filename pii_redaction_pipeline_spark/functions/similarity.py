@@ -283,6 +283,26 @@ FROM ranked WHERE rank <= {k}
 N_LSH_TABLES = 4  # sign buckets over dims 1-4, 5-8, 9-12, 13-16
 
 
+def _embedding_dim(emb: DataFrame, col: str = "embedding") -> int:
+    """Actual embedding dimensionality (one-row job — metadata-scale).
+    Needed because element_at() past the array end yields NULL, and
+    NULL > 0 is silently false: a hash table reading absent dims would
+    collapse into one degenerate bucket (recall loss with no error)."""
+    row = emb.select(F.size(col).alias("d")).first()
+    return int(row["d"]) if row is not None else 0
+
+
+def _usable_tables(emb: DataFrame, col: str = "embedding") -> int:
+    """How many disjoint N_IVF_BITS-dim sign-hash tables the embedding
+    actually supports; raises instead of silently degrading to zero."""
+    dim = _embedding_dim(emb, col)
+    if dim < N_IVF_BITS:
+        raise ValueError(
+            f"embedding dim {dim} < {N_IVF_BITS} (N_IVF_BITS); sign-bucket "
+            f"LSH needs at least one full dim group")
+    return min(N_LSH_TABLES, dim // N_IVF_BITS)
+
+
 def spark_neardup_pairs(emb: DataFrame,
                         threshold: float = 0.35) -> DataFrame:
     """Embedding-cosine near-dup pairs, two-phase like minhash→jaccard:
@@ -296,6 +316,7 @@ def spark_neardup_pairs(emb: DataFrame,
     ≈1.0 for actual near-duplicates (sign agreement per table rises with
     cosine; tests/test_dedup_similarity.py plants perturbed duplicates
     and pins recall ≥ 0.95 with precision 1.0 vs brute force)."""
+    n_tables = _usable_tables(emb)  # never read dims the vectors lack
     base = emb.select("vec_id", "embedding")
     melted = base.select(
         "vec_id",
@@ -303,7 +324,7 @@ def spark_neardup_pairs(emb: DataFrame,
             F.struct(F.lit(t).alias("t"),
                      F.expr(_sign_bucket_expr("embedding", t))
                      .cast("int").alias("b"))
-            for t in range(N_LSH_TABLES)])).alias("tb")
+            for t in range(n_tables)])).alias("tb")
     ).select("vec_id", "tb.t", "tb.b").localCheckpoint()
     x = melted.alias("x")
     y = melted.alias("y")

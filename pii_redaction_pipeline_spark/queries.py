@@ -669,17 +669,57 @@ FROM m
 
 def q_wer_scrub_effect(spark, sf_dir):
     """WER operator (reference src/wer_calculator.py): distance between
-    original and scrubbed text quantifies redaction impact."""
+    original and scrubbed text quantifies redaction impact. Exposes the
+    DP's total edit count (S+I+D = the word-level Levenshtein distance)
+    + reference_words + wer, all of which the DuckDB oracle can verify:
+    the per-class S/I/D split needs the backtrace and stays pinned by
+    the differential pytest suite instead."""
     from .functions.wer import wer_udf
 
     df = _docs_enriched(spark, sf_dir)
     df = df.withColumn("scrubbed", tx.scrub_col(F.col("etext")))
     df = df.withColumn("_w", wer_udf(F.col("etext"), F.col("scrubbed")))
+    total = (F.col("_w.substitutions") + F.col("_w.insertions")
+             + F.col("_w.deletions"))
     return df.select(
         "doc_id",
         F.round("_w.wer", 6).alias("wer"),
-        F.col("_w.substitutions").cast("bigint").alias("substitutions"),
+        total.cast("bigint").alias("total_edits"),
         F.col("_w.reference_words").cast("bigint").alias("reference_words"))
+
+
+def _sql_wer_scrub_effect() -> str:
+    """Word-level Levenshtein in DuckDB: DuckDB's levenshtein() is
+    byte-based, so map each distinct word of the (reference ∪ hypothesis)
+    row vocabulary to one single-byte codepoint (chr(32+idx); per-row
+    vocab ≤ ~50 « 95 printable slots on this corpus) and run levenshtein
+    on the encoded strings — total byte edits == total word edits, which
+    equals the DP's S+I+D sum (both are the minimal word edit distance).
+    Tokenization mirrors core.wer_normalize: lower → [^\\w\\s']→' ' →
+    split on whitespace (the corpus is printable ASCII, where RE2's \\w
+    and Python's unicode \\w agree)."""
+    def toks(col: str) -> str:
+        return (f"list_filter(string_split_regex(regexp_replace(lower({col}), "
+                f"'[^a-z0-9_\\s'']', ' ', 'g'), '\\s+'), x -> x <> '')")
+
+    enc = ("array_to_string(list_transform({side}, "
+           "w -> chr(32 + list_position(vocab, w))), '')")
+    return f"""
+WITH e AS (SELECT doc_id, {ENRICH_SQL} AS etext FROM documents),
+s AS (SELECT doc_id, etext, {tx.duck_scrub_sql('etext')} AS scrubbed FROM e),
+t AS (SELECT doc_id, {toks('etext')} AS rt, {toks('scrubbed')} AS ht FROM s),
+v AS (SELECT doc_id, rt, ht, list_distinct(rt || ht) AS vocab FROM t),
+d AS (SELECT doc_id,
+        levenshtein({enc.format(side='rt')}, {enc.format(side='ht')}) AS edits,
+        len(rt) AS ref_words
+      FROM v)
+SELECT doc_id,
+       round(CASE WHEN ref_words > 0 THEN CAST(edits AS DOUBLE) / ref_words
+                  ELSE 0.0 END, 6) AS wer,
+       CAST(edits AS BIGINT) AS total_edits,
+       CAST(ref_words AS BIGINT) AS reference_words
+FROM d
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -704,7 +744,7 @@ QUERIES: dict[str, tuple] = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "pipeline_full": (q_pipeline_full, None),       # rows-only: fuzzy layer
     "pipeline_grade_cols": (q_pipeline_grade_cols, _sql_pipeline_grade_cols()),
-    "wer_scrub_effect": (q_wer_scrub_effect, None),  # rows-only: DP alignment
+    "wer_scrub_effect": (q_wer_scrub_effect, _sql_wer_scrub_effect()),
 }
 
 

@@ -30,11 +30,13 @@ def processing_report(results: DataFrame) -> str:
     """Job-level report (reference visualize_processing_report :49-101):
     verification-status chart, keep/drop summary, PII category chart
     (from the redactions column when the caller kept it)."""
+    # coalesce: sum/avg over zero rows is NULL — an empty results table
+    # should report 0s, not "Kept: None"
     agg = results.agg(
         F.count(F.lit(1)).alias("total"),
-        F.sum(F.col("keep").cast("long")).alias("kept"),
-        F.sum("pii_count").alias("total_pii"),
-        F.round(F.avg("pii_count"), 2).alias("avg_pii"),
+        F.coalesce(F.sum(F.col("keep").cast("long")), F.lit(0)).alias("kept"),
+        F.coalesce(F.sum("pii_count"), F.lit(0)).alias("total_pii"),
+        F.coalesce(F.round(F.avg("pii_count"), 2), F.lit(0.0)).alias("avg_pii"),
     ).collect()[0]
     status = {r["qa_status"]: r["n"] for r in
               results.groupBy("qa_status").agg(F.count(F.lit(1)).alias("n"))
