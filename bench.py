@@ -109,7 +109,8 @@ def main() -> None:
     for name in ["scrub_lexicon", "keep_drop_grade", "scrub_counts",
                  "pricing_summary", "top_suppliers", "dedup_exact",
                  "token_stats", "events_minutely", "minhash_signatures",
-                 "neardup_pairs_minhash", "jaccard_pairs", "simhash",
+                 "neardup_pairs_minhash", "jaccard_pairs", "neardup_clusters",
+                 "simhash",
                  "ann_cosine_topk", "ann_ivf_topk", "embedding_neardup",
                  "doc_fingerprint"]:
         fn, _ = QUERIES[name]

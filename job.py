@@ -15,7 +15,10 @@ tests/test_spark_submit_e2e.py replays kill+resume under spark-submit).
 Packaging: `python job.py --make-zip` emits the --py-files archive.
 The archive is NOT tracked in git (a committed copy inevitably drifts
 from source); deploys rebuild it, and tests/test_job_packaging.py
-asserts the built archive mirrors the package byte-for-byte.
+asserts the built archive mirrors the package byte-for-byte. Every run
+ALSO verifies the shipped archive at submit time: a stale zip means the
+executors would import different bytes than the driver, so job.py
+rebuilds it and refuses the run (re-submit ships the fresh archive).
 """
 
 from __future__ import annotations
@@ -30,12 +33,57 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 
-def make_zip(out: str = "pii_redaction_pipeline_spark.zip") -> str:
+PKG_ZIP = "pii_redaction_pipeline_spark.zip"
+
+
+def make_zip(out: str = PKG_ZIP) -> str:
     pkg = REPO / "pii_redaction_pipeline_spark"
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
         for p in sorted(pkg.rglob("*.py")):
             z.write(p, p.relative_to(REPO))
     return out
+
+
+def zip_matches_source(zip_path: str) -> bool:
+    """True iff the archive mirrors the package byte-for-byte (same file
+    set, same bytes)."""
+    pkg = REPO / "pii_redaction_pipeline_spark"
+    expected = {str(p.relative_to(REPO)): p.read_bytes()
+                for p in sorted(pkg.rglob("*.py"))}
+    try:
+        with zipfile.ZipFile(zip_path) as z:
+            if set(z.namelist()) != set(expected):
+                return False
+            return all(z.read(n) == b for n, b in expected.items())
+    except Exception:
+        return False
+
+
+def ensure_fresh_py_files(py_files: str = "") -> None:
+    """Submit-time staleness guard: executors import the --py-files
+    archive while the driver imports the source tree, so a stale zip
+    silently runs OLD code on executors and new code on the driver.
+    Checks every package archive named in `py_files` (the session's
+    spark.submit.pyFiles) plus the default repo-root zip; any stale
+    archive is rebuilt from source and the run is REFUSED — the copy
+    spark-submit already shipped to executors is the stale one, so the
+    only safe path is to re-submit with the rebuilt archive."""
+    candidates = [c.strip() for c in (py_files or "").split(",") if c.strip()]
+    default = REPO / PKG_ZIP
+    if default.exists() and str(default) not in candidates:
+        candidates.append(str(default))
+    stale = []
+    for c in candidates:
+        if Path(c).name != PKG_ZIP or not Path(c).exists():
+            continue
+        if not zip_matches_source(c):
+            make_zip(c)
+            stale.append(c)
+    if stale:
+        raise SystemExit(
+            f"stale --py-files archive(s) {stale}: executors would import "
+            f"different bytes than the driver. Rebuilt from source — "
+            f"re-submit the job.")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -55,6 +103,8 @@ def main(argv: list[str] | None = None) -> None:
     if not args.input or not args.output:
         ap.error("--input and --output are required")
 
+    ensure_fresh_py_files()  # cheap refusal before any Spark work
+
     from pyspark.sql import SparkSession
 
     from pii_redaction_pipeline_spark.pipeline import (
@@ -73,6 +123,9 @@ def main(argv: list[str] | None = None) -> None:
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
              .getOrCreate())
+
+    # the archives spark-submit actually shipped (if any) must match source
+    ensure_fresh_py_files(spark.conf.get("spark.submit.pyFiles", ""))
 
     if "/" in args.input:
         clips = spark.read.parquet(args.input)

@@ -165,6 +165,44 @@ _mins AS (SELECT doc_id, {mins} FROM _hashed GROUP BY doc_id)
 SELECT doc_id, {bands} FROM _mins)"""
 
 
+def _melt_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, sig) — one row per (doc, LSH band)."""
+    return sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("sig"))
+            for b in range(N_BANDS)])).alias("bs")
+    ).select("doc_id", "bs.band_idx", "bs.sig")
+
+
+def bucket_stats(buckets: DataFrame, *key_cols: str) -> DataFrame:
+    """One-row candidate-volume monitor over any bucketed candidate
+    structure (LSH bands, IVF cells): bucket-size histogram percentiles
+    + the candidate-pair join volume Σ c·(c−1)/2 — the number the
+    "raise N_IVF_BITS / widen hash slices when candidates blow up"
+    runbooks in SCALE.md key off. Tiny aggregate (one row out), safe to
+    compute alongside any production run."""
+    sizes = buckets.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("c"))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.coalesce(F.max("c"), F.lit(0)).cast("bigint")
+        .alias("max_bucket_size"),
+        F.coalesce(F.expr("percentile_approx(c, 0.5)"), F.lit(0))
+        .cast("bigint").alias("p50_bucket_size"),
+        F.coalesce(F.expr("percentile_approx(c, 0.99)"), F.lit(0))
+        .cast("bigint").alias("p99_bucket_size"),
+        F.coalesce(F.sum(F.expr("c * (c - 1) / 2")), F.lit(0))
+        .cast("bigint").alias("candidate_pairs"))
+
+
+def lsh_bucket_stats(docs: DataFrame, hash_impl: str = "md5") -> DataFrame:
+    """Candidate-volume metrics for the minhash LSH tables (see
+    bucket_stats); pair with sources.tableio.append_metrics to land the
+    row next to the lineage table."""
+    return bucket_stats(_melt_bands(spark_minhash_signatures(docs, hash_impl)),
+                        "band_idx", "sig")
+
+
 def spark_lsh_pairs(docs: DataFrame, hash_impl: str = "md5") -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band signature.
     Shuffle is on (band_idx, band_sig) — the scalable bucket join."""
@@ -172,12 +210,7 @@ def spark_lsh_pairs(docs: DataFrame, hash_impl: str = "md5") -> DataFrame:
     # signature pipeline on both sides (ReuseExchange does not cover the
     # pre-shuffle projection)
     sig = spark_minhash_signatures(docs, hash_impl).localCheckpoint()
-    melted = sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("sig"))
-            for b in range(N_BANDS)])).alias("bs")
-    ).select("doc_id", "bs.band_idx", "bs.sig")
+    melted = _melt_bands(sig)
     a = melted.alias("a")
     b = melted.alias("b")
     return (a.join(b, ["band_idx", "sig"])

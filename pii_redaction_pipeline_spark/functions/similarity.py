@@ -303,6 +303,28 @@ def _usable_tables(emb: DataFrame, col: str = "embedding") -> int:
     return min(N_LSH_TABLES, dim // N_IVF_BITS)
 
 
+def _melt_tables(emb: DataFrame, n_tables: int) -> DataFrame:
+    """(vec_id, t, b) — one row per (vector, sign-hash table)."""
+    return emb.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     F.expr(_sign_bucket_expr("embedding", t))
+                     .cast("int").alias("b"))
+            for t in range(n_tables)])).alias("tb")
+    ).select("vec_id", "tb.t", "tb.b")
+
+
+def embedding_bucket_stats(emb: DataFrame) -> DataFrame:
+    """Candidate-volume metrics for the embedding sign-bucket LSH tables:
+    bucket histogram + Σ c·(c−1)/2 candidate pairs — the monitor SCALE.md
+    points at for the "raise N_IVF_BITS" decision. Pair with
+    sources.tableio.append_metrics to land the row next to lineage."""
+    from .dedup import bucket_stats
+
+    return bucket_stats(_melt_tables(emb, _usable_tables(emb)), "t", "b")
+
+
 def spark_neardup_pairs(emb: DataFrame,
                         threshold: float = 0.35) -> DataFrame:
     """Embedding-cosine near-dup pairs, two-phase like minhash→jaccard:
@@ -318,14 +340,7 @@ def spark_neardup_pairs(emb: DataFrame,
     and pins recall ≥ 0.95 with precision 1.0 vs brute force)."""
     n_tables = _usable_tables(emb)  # never read dims the vectors lack
     base = emb.select("vec_id", "embedding")
-    melted = base.select(
-        "vec_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("t"),
-                     F.expr(_sign_bucket_expr("embedding", t))
-                     .cast("int").alias("b"))
-            for t in range(n_tables)])).alias("tb")
-    ).select("vec_id", "tb.t", "tb.b").localCheckpoint()
+    melted = _melt_tables(base, n_tables).localCheckpoint()
     x = melted.alias("x")
     y = melted.alias("y")
     cand = (x.join(y, ["t", "b"])

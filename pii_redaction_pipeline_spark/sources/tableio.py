@@ -66,6 +66,31 @@ def write_partitioned(df: DataFrame, target: str, spark: SparkSession) -> None:
          .parquet(target))
 
 
+def append_metrics(metrics: DataFrame, out_dir: str, source: str,
+                   run_id: str | None = None) -> None:
+    """Append one-row metric DataFrames (e.g. dedup.lsh_bucket_stats,
+    similarity.embedding_bucket_stats) as LONG-format rows next to the
+    lineage table: (run_id, source, metric, value, ts_ms). Long format
+    keeps the metrics table schema stable as new monitors are added —
+    production runbooks (SCALE.md: "monitor candidate volume and raise
+    N_IVF_BITS / widen hash slices") read this table."""
+    import uuid as _uuid
+
+    run_id = run_id or _uuid.uuid4().hex[:12]
+    ts_ms = int(time.time() * 1000)
+    wide = metrics.collect()  # one row by contract — metadata-scale
+    rows = [(run_id, source, c, float(r[c]), ts_ms)
+            for r in wide for c in metrics.columns]
+    (metrics.sparkSession.createDataFrame(
+        rows, "run_id string, source string, metric string, "
+              "value double, ts_ms long")
+     .write.mode("append").parquet(str(Path(out_dir) / "metrics")))
+
+
+def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(str(Path(out_dir) / "metrics"))
+
+
 def with_bucket(df: DataFrame, n_buckets: int, key: str = "clip_id") -> DataFrame:
     return df.withColumn(
         BUCKET_COL, F.pmod(F.hash(F.col(key)), F.lit(n_buckets)).cast("int"))

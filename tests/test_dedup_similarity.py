@@ -255,3 +255,46 @@ def test_lsh_tables_derived_from_embedding_dim(spark):
                                  "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="embedding dim"):
         spark_neardup_pairs(tiny)
+
+
+def test_candidate_volume_metrics_rows(planted, spark, tmp_path):
+    """The SCALE.md runbooks say "monitor candidate volume"; this is the
+    monitor: bucket histograms + Σ c·(c−1)/2 for both LSH families land
+    as long-format metrics rows next to the lineage table."""
+    from pii_redaction_pipeline_spark.functions.dedup import (
+        lsh_bucket_stats,
+        spark_lsh_pairs,
+    )
+    from pii_redaction_pipeline_spark.functions.similarity import (
+        embedding_bucket_stats,
+    )
+    from pii_redaction_pipeline_spark.sources.tableio import (
+        append_metrics,
+        read_metrics,
+    )
+
+    out = str(tmp_path / "run")
+    append_metrics(embedding_bucket_stats(planted), out, "embedding_lsh",
+                   run_id="r1")
+
+    W = [f"w{i:02d}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [(10, " ".join(W[0:18])), (11, " ".join(W[3:21])),
+         (12, " ".join(W[6:24])), (50, "alpha beta gamma delta")],
+        "doc_id long, text string")
+    append_metrics(lsh_bucket_stats(docs), out, "minhash_lsh", run_id="r1")
+
+    m = {(r.source, r.metric): r.value
+         for r in read_metrics(spark, out).collect()}
+    # join volume bounds the distinct candidate pairs from below
+    n_distinct = spark_lsh_pairs(docs).count()
+    assert m[("minhash_lsh", "candidate_pairs")] >= n_distinct >= 2
+    for src in ("embedding_lsh", "minhash_lsh"):
+        assert m[(src, "n_buckets")] >= 1
+        assert (m[(src, "max_bucket_size")]
+                >= m[(src, "p99_bucket_size")]
+                >= m[(src, "p50_bucket_size")] >= 1)
+    # embedding table: 160 vectors × 4 tables melt into the buckets
+    assert m[("embedding_lsh", "candidate_pairs")] > 0
+    rows = read_metrics(spark, out)
+    assert rows.where("run_id = 'r1'").count() == rows.count() == 10

@@ -38,3 +38,44 @@ def test_zip_contains_all_imported_modules(tmp_path):
         "pii_redaction_pipeline_spark/sources/audio_dir.py",
     ]:
         assert mod in names, f"missing from --py-files zip: {mod}"
+
+
+def test_stale_zip_refused_and_rebuilt(tmp_path, monkeypatch):
+    """Submit-time guard: a doctored (stale) archive makes job.py refuse
+    the run BEFORE any Spark work and rebuild the archive in place, so
+    the next submit ships fresh bytes. A fresh archive passes silently."""
+    import shutil
+
+    import pytest
+
+    shutil.copytree(Path(job.REPO) / "pii_redaction_pipeline_spark",
+                    tmp_path / "pii_redaction_pipeline_spark")
+    monkeypatch.setattr(job, "REPO", tmp_path)
+    zp = tmp_path / job.PKG_ZIP
+    job.make_zip(str(zp))
+    assert job.zip_matches_source(str(zp))
+    job.ensure_fresh_py_files(str(zp))  # fresh → no-op
+
+    # doctor one module (round-1-style drift)
+    victim = "pii_redaction_pipeline_spark/core.py"
+    entries = {}
+    with zipfile.ZipFile(zp) as z:
+        for n in z.namelist():
+            entries[n] = z.read(n)
+    entries[victim] = b"# stale round-1 bytes\n"
+    with zipfile.ZipFile(zp, "w") as z:
+        for n, b in entries.items():
+            z.writestr(n, b)
+    assert not job.zip_matches_source(str(zp))
+
+    with pytest.raises(SystemExit, match="stale --py-files"):
+        job.ensure_fresh_py_files(str(zp))
+    assert job.zip_matches_source(str(zp))  # rebuilt in place
+
+    # main() refuses before touching Spark when the default zip is stale
+    with zipfile.ZipFile(zp, "w") as z:
+        for n, b in entries.items():
+            z.writestr(n, b)
+    with pytest.raises(SystemExit, match="stale --py-files"):
+        job.main(["--input", "/nope", "--output", str(tmp_path / "o")])
+    assert job.zip_matches_source(str(zp))
