@@ -14,12 +14,13 @@ Hash primitive is pluggable (`hash_impl` on every minhash-family op):
     stay on md5; a parity test pins that both modes agree on exact-dup
     signatures and LSH pair structure.
 
-Both modes derive the {N_HASHES} min-hash functions as 32-bit slices of
-two 128-bit/64-bit digests. 32-bit minima admit birthday collisions among
-distinct shingle sets at very large corpus scale — a COST tradeoff only
-(more false-positive candidate pairs for the exact Jaccard verify to
-reject; results stay correct). If candidate volume becomes the bottleneck
-at production scale, widen to 64-bit slices (4 digests) — the
+Both modes derive the 8 min-hash functions as 32-bit slices of a few
+per-shingle digests (md5: 2×128-bit; xxhash64: 4×64-bit). 32-bit minima
+admit birthday collisions among distinct shingle sets at very large
+corpus scale — a COST tradeoff only (more false-positive candidate pairs
+for the exact Jaccard verify to reject; results stay correct). If
+candidate volume becomes the bottleneck at production scale, widen to
+64-bit slices (double the digests, same structure) — the
 `lsh_bucket_stats` metrics emitted next to the lineage table are the
 monitor for exactly that decision.
 
