@@ -173,6 +173,7 @@ def spark_cosine_topk_ivf(emb: DataFrame, n_probes: int = 8,
     candidate set shrinks ~|buckets|×, and the plan is a broadcast
     equi-join on bucket id instead of a cross join. Exactness within the
     bucket; cosine runs in the vectorized numpy pair kernel."""
+    _usable_tables(emb)  # validates dim ≥ N_IVF_BITS (no NULL sign bits)
     bucket = F.expr(_sign_bucket_expr("embedding")).cast("int")
     base = emb.withColumn("_b", bucket)
     probes = (base.where(F.col("vec_id") < n_probes)
@@ -203,6 +204,7 @@ def spark_cosine_topk_ivf_multiprobe(emb: DataFrame, n_probes: int = 8,
     synthetic corpus (uniform random vectors — sign-LSH's worst case):
     top-3 recall 4/24 single-probe → 12/24 multi-probe; clustered real
     embeddings recall far more (tests pin multi ≥ single)."""
+    _usable_tables(emb)  # validates dim ≥ N_IVF_BITS (no NULL sign bits)
     bucket = F.expr(_sign_bucket_expr("embedding")).cast("int")
     base = emb.withColumn("_b", bucket)
     probe_buckets = F.array(
