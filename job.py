@@ -74,6 +74,23 @@ def ensure_fresh_py_files(py_files: str = "") -> None:
         candidates.append(str(default))
     stale = []
     for c in candidates:
+        # cluster submits often carry URI-form entries: file:// is a local
+        # path in disguise (verify it); other schemes (hdfs://, s3a://,
+        # http://) can't be byte-checked from here — warn loudly instead
+        # of silently skipping the guard the docstring promises
+        if "://" in c:
+            scheme, _, rest = c.partition("://")
+            if scheme == "file":
+                c = rest if rest.startswith("/") else "/" + rest
+            else:
+                if Path(c).name == PKG_ZIP:
+                    import warnings
+                    warnings.warn(
+                        f"--py-files entry {c!r} uses scheme {scheme!r} and "
+                        f"cannot be verified against local source — the "
+                        f"staleness guard does NOT cover it. Re-upload the "
+                        f"archive when the package changes.", RuntimeWarning)
+                continue
         if Path(c).name != PKG_ZIP or not Path(c).exists():
             continue
         if not zip_matches_source(c):

@@ -35,12 +35,34 @@ LANGID_STRUCT = T.StructType([
 ])
 
 _FT_MODEL = None  # per-worker memo: load once, reuse across tasks/batches
+_GATE_WARNED: set[str] = set()  # one warning per env var per process
+
+
+def warn_gated_backend(model_env: str) -> None:
+    """One-time, per-process visibility for the opt-in gate: a deploy that
+    sets a model env var (FASTTEXT_LANGID_MODEL / KENLM_MODEL) but not
+    PII_SPARK_PROD_BACKENDS=1 would otherwise silently fall back to the
+    stand-in scorers — a quality downgrade with no error. Warn instead of
+    auto-enabling: the gate exists so correctness harnesses stay
+    deterministic on hosts with ambient model env vars."""
+    if model_env in _GATE_WARNED:
+        return
+    if (os.environ.get(model_env)
+            and os.environ.get("PII_SPARK_PROD_BACKENDS") != "1"):
+        import warnings
+        warnings.warn(
+            f"${model_env} is set but PII_SPARK_PROD_BACKENDS!=1 — using "
+            f"the deterministic stand-in scorer, NOT the production model. "
+            f"Set PII_SPARK_PROD_BACKENDS=1 (driver AND executors) to "
+            f"enable it.", RuntimeWarning, stacklevel=3)
+        _GATE_WARNED.add(model_env)
 
 
 def _fasttext_model():
     """fastText model or None (library or model file absent)."""
     global _FT_MODEL
     if os.environ.get("PII_SPARK_PROD_BACKENDS") != "1":
+        warn_gated_backend("FASTTEXT_LANGID_MODEL")
         return None  # explicit opt-in only — see module docstring
     if _FT_MODEL is not None:
         return _FT_MODEL if _FT_MODEL != "unavailable" else None

@@ -32,6 +32,8 @@ _KENLM_MODEL = None  # per-worker memo
 def _kenlm_model():
     global _KENLM_MODEL
     if os.environ.get("PII_SPARK_PROD_BACKENDS") != "1":
+        from .langid import warn_gated_backend
+        warn_gated_backend("KENLM_MODEL")
         return None  # explicit opt-in only — see module docstring
     if _KENLM_MODEL is not None:
         return _KENLM_MODEL if _KENLM_MODEL != "unavailable" else None

@@ -286,12 +286,25 @@ N_LSH_TABLES = 4  # sign buckets over dims 1-4, 5-8, 9-12, 13-16
 
 
 def _embedding_dim(emb: DataFrame, col: str = "embedding") -> int:
-    """Actual embedding dimensionality (one-row job — metadata-scale).
-    Needed because element_at() past the array end yields NULL, and
-    NULL > 0 is silently false: a hash table reading absent dims would
-    collapse into one degenerate bucket (recall loss with no error)."""
-    row = emb.select(F.size(col).alias("d")).first()
-    return int(row["d"]) if row is not None else 0
+    """MINIMUM embedding dimensionality across the corpus (one cheap
+    map-side-combining agg — metadata-scale result). Needed because
+    element_at() past the array end yields NULL, and NULL > 0 is silently
+    false: a hash table reading absent dims would collapse into one
+    degenerate bucket (recall loss with no error). min(), not first():
+    a ragged corpus where LATER vectors are shorter than the first row
+    would pass a first()-based guard and still hit NULL sign bits.
+    Memoized on the DataFrame object so callers that compose several
+    ANN ops over one DF pay the scan once."""
+    cached = getattr(emb, "_pii_embedding_dim", None)
+    if cached is not None:
+        return cached
+    row = emb.select(F.min(F.size(col)).alias("d")).first()
+    dim = int(row["d"]) if row is not None and row["d"] is not None else 0
+    try:
+        emb._pii_embedding_dim = dim
+    except Exception:
+        pass
+    return dim
 
 
 def _usable_tables(emb: DataFrame, col: str = "embedding") -> int:

@@ -690,14 +690,21 @@ def q_wer_scrub_effect(spark, sf_dir):
 
 def _sql_wer_scrub_effect() -> str:
     """Word-level Levenshtein in DuckDB: DuckDB's levenshtein() is
-    byte-based, so map each distinct word of the (reference ∪ hypothesis)
-    row vocabulary to one single-byte codepoint (chr(32+idx); per-row
-    vocab ≤ ~50 « 95 printable slots on this corpus) and run levenshtein
-    on the encoded strings — total byte edits == total word edits, which
-    equals the DP's S+I+D sum (both are the minimal word edit distance).
-    Tokenization mirrors core.wer_normalize: lower → [^\\w\\s']→' ' →
-    split on whitespace (the corpus is printable ASCII, where RE2's \\w
-    and Python's unicode \\w agree)."""
+    CHARACTER-based (one edit per codepoint — verified: a 2-byte UTF-8
+    char substitution counts 1), so map each distinct word of the
+    (reference ∪ hypothesis) row vocabulary to one codepoint
+    (chr(32+idx)) and run levenshtein on the encoded strings — total
+    character edits == total word edits, which equals the DP's S+I+D sum
+    (both are the minimal word edit distance). The encoding only needs
+    per-row vocab to stay within valid chr() codepoints — effectively
+    unbounded; this corpus's ≤ ~50 distinct words/row doesn't approach
+    any limit. Tokenization mirrors core.wer_normalize: lower →
+    [^\\w\\s']→' ' → split on whitespace (the corpus is printable ASCII,
+    where RE2's \\w and Python's unicode \\w agree). ref_words = 0 rows
+    follow core.wer's convention (inf for a non-empty hypothesis, 0.0
+    otherwise) — unreachable on scrub output (scrubbing never empties a
+    non-empty transcript's normalized tokens), aligned anyway so the
+    branch can't silently diverge if the corpus changes."""
     def toks(col: str) -> str:
         return (f"list_filter(string_split_regex(regexp_replace(lower({col}), "
                 f"'[^a-z0-9_\\s'']', ' ', 'g'), '\\s+'), x -> x <> '')")
@@ -715,6 +722,7 @@ d AS (SELECT doc_id,
       FROM v)
 SELECT doc_id,
        round(CASE WHEN ref_words > 0 THEN CAST(edits AS DOUBLE) / ref_words
+                  WHEN edits > 0 THEN CAST('infinity' AS DOUBLE)
                   ELSE 0.0 END, 6) AS wer,
        CAST(edits AS BIGINT) AS total_edits,
        CAST(ref_words AS BIGINT) AS reference_words
