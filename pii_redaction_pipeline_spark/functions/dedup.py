@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .blocks import adopt, own, release, unpersist_checkpoint
+
 N_HASHES = 8
 N_BANDS = 4          # 2 rows per band
 SHINGLE_WORDS = 3
@@ -206,19 +208,24 @@ def lsh_bucket_stats(docs: DataFrame, hash_impl: str = "md5") -> DataFrame:
 
 def spark_lsh_pairs(docs: DataFrame, hash_impl: str = "md5") -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band signature.
-    Shuffle is on (band_idx, band_sig) — the scalable bucket join."""
-    # localCheckpoint: the self-join would otherwise recompute the full
-    # signature pipeline on both sides (ReuseExchange does not cover the
-    # pre-shuffle projection)
-    sig = spark_minhash_signatures(docs, hash_impl).localCheckpoint()
+    Shuffle is on (band_idx, band_sig) — the scalable bucket join.
+
+    The signature table is .persist()ed so the self-join does not
+    recompute the full signature pipeline on both sides (ReuseExchange
+    does not cover the pre-shuffle projection). persist, NOT
+    localCheckpoint: cached blocks can be released early without breaking
+    re-evaluation (lineage recompute), and the CALLER owns the release —
+    blocks.release(returned_df) once the result is consumed."""
+    sig = spark_minhash_signatures(docs, hash_impl).persist()
     melted = _melt_bands(sig)
     a = melted.alias("a")
     b = melted.alias("b")
-    return (a.join(b, ["band_idx", "sig"])
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    out = (a.join(b, ["band_idx", "sig"])
+           .where(F.col("a.doc_id") < F.col("b.doc_id"))
+           .select(F.col("a.doc_id").alias("doc_a"),
+                   F.col("b.doc_id").alias("doc_b"))
+           .distinct())
+    return own(out, "persist", sig)
 
 
 def duck_lsh_pairs_sql() -> str:
@@ -240,11 +247,14 @@ WHERE a.doc_id < b.doc_id
 
 def spark_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         hash_impl: str = "md5") -> DataFrame:
-    """LSH candidates verified with exact shingle-set Jaccard."""
+    """LSH candidates verified with exact shingle-set Jaccard. The
+    shingle-set table is persisted (joined twice — a/b sides); ownership
+    of it plus the candidate generator's signature cache moves onto the
+    returned DataFrame: blocks.release(result) after consuming."""
     pairs = spark_lsh_pairs(docs, hash_impl)
     sh = (shingle_rows(docs)
           .groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
-          .localCheckpoint())
+          .persist())
     j = (pairs
          .join(sh.select(F.col("doc_id").alias("doc_a"),
                          F.col("sh").alias("sh_a")), "doc_a")
@@ -253,8 +263,9 @@ def spark_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-            .where(F.col("jaccard") >= threshold))
+    out = (j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+           .where(F.col("jaccard") >= threshold))
+    return own(adopt(out, pairs), "persist", sh)
 
 
 def duck_jaccard_pairs_sql(threshold: float = 0.5) -> str:
@@ -280,17 +291,9 @@ WHERE jaccard >= {threshold}
 # near-dup clusters: connected components over the verified pair graph
 # ---------------------------------------------------------------------------
 
-def _unpersist_checkpoint(df: DataFrame) -> None:
-    """Free the RDD blocks behind a localCheckpoint()ed DataFrame.
-    DataFrame.unpersist() goes through the SQL CacheManager and does not
-    touch the RDD-level persist that localCheckpoint creates, so without
-    this every superseded round's blocks would sit in executor memory for
-    the life of the job. Best-effort: on any py4j/plan-shape surprise the
-    round cap still bounds live blocks to O(log n)."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+# moved to blocks.unpersist_checkpoint (round 4); alias kept for the
+# in-loop per-round frees below
+_unpersist_checkpoint = unpersist_checkpoint
 
 
 def spark_neardup_clusters(docs: DataFrame, threshold: float = 0.5,
@@ -319,10 +322,13 @@ def spark_neardup_clusters(docs: DataFrame, threshold: float = 0.5,
     input."""
     import math
 
-    pairs = (spark_jaccard_pairs(docs, threshold, hash_impl)
-             .select("doc_a", "doc_b"))
+    jpairs = spark_jaccard_pairs(docs, threshold, hash_impl)
+    pairs = jpairs.select("doc_a", "doc_b")
     edges = (pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
              .toDF("src", "dst").localCheckpoint())
+    # the eager edges checkpoint just consumed the pair generator — its
+    # signature/shingle caches are dead weight from here on
+    release(jpairs)
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")).localCheckpoint())
     n_vertices = labels.count()
@@ -359,7 +365,12 @@ def spark_neardup_clusters(docs: DataFrame, threshold: float = 0.5,
     if stats is not None:
         stats["rounds"] = rounds
         stats["n_vertices"] = n_vertices
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    # the returned DataFrame reads the final round's checkpoint: the
+    # caller owns that one block set — blocks.release(result) after
+    # consuming (re-evaluating the result afterwards is an error, since
+    # a checkpoint has no lineage to recompute from)
+    out = labels.select("doc_id", F.col("label").alias("cluster_id"))
+    return own(out, "checkpoint", labels)
 
 
 def duck_neardup_clusters_sql(threshold: float = 0.5) -> str:

@@ -353,9 +353,13 @@ def spark_neardup_pairs(emb: DataFrame,
     ≈1.0 for actual near-duplicates (sign agreement per table rises with
     cosine; tests/test_dedup_similarity.py plants perturbed duplicates
     and pins recall ≥ 0.95 with precision 1.0 vs brute force)."""
+    from .blocks import own
+
     n_tables = _usable_tables(emb)  # never read dims the vectors lack
     base = emb.select("vec_id", "embedding")
-    melted = _melt_tables(base, n_tables).localCheckpoint()
+    # persisted (not localCheckpoint) so the self-join computes the melt
+    # once and the caller can free the blocks: blocks.release(result)
+    melted = _melt_tables(base, n_tables).persist()
     x = melted.alias("x")
     y = melted.alias("y")
     cand = (x.join(y, ["t", "b"])
@@ -370,8 +374,9 @@ def spark_neardup_pairs(emb: DataFrame,
          .join(base.select(F.col("vec_id").alias("id_b"),
                            F.col("embedding").alias("e_b")), "id_b")
          .withColumn("sim", cos(F.col("e_a"), F.col("e_b"))))
-    return (j.where(F.col("sim") >= threshold)
-            .select("id_a", "id_b", "sim"))
+    out = (j.where(F.col("sim") >= threshold)
+           .select("id_a", "id_b", "sim"))
+    return own(out, "persist", melted)
 
 
 def duck_neardup_pairs_sql(threshold: float = 0.35) -> str:
