@@ -1,11 +1,29 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+ "raw": {...}, "canary": {...}, "sf": ...}
 
 Headline metric = wall seconds of the full filter+scrub pipeline over the
 clips table (clips/sec reported alongside — the north-star throughput
 number). Clips input is materialized to parquet once (cached under
 .bench_cache/) so the measurement is scan→pipeline→agg, not datagen.
+
+Trustworthiness (round-4 verdict item — the r3 driver epoch recorded
+walls 4-59× off the re-measured values with no way to tell):
+  - RAW per-run walls are emitted for every query (`raw`), not just the
+    min — a poisoned run is visible in the record itself.
+  - A fixed-cost CANARY (pure-JVM codegen sum over spark.range, plus a
+    page-cache parquet scan count) runs before and after the query loop;
+    its nominal wall on an idle host is recorded next to the measured
+    walls, so a contended epoch is self-evident in BENCH_r{N}.json
+    (canary >> nominal ⟹ don't trust the epoch's absolute numbers).
+  - Sub-5s queries get 2 warm-ups + min-of-3 (slow ones 1 warm-up +
+    min-of-2 — cold-compile noise is amortized by the long wall).
+
+Coverage: EVERY registry query (30) is timed, plus the two materialized
+headline pipelines and the xxhash64 minhash mode (the production hash
+primitive — its throughput delta vs the oracle-checkable md5 mode is
+part of the record).
 """
 
 from __future__ import annotations
@@ -25,6 +43,18 @@ AUDIO_ROWS = int(os.environ.get("BENCH_AUDIO_ROWS", "4000"))
 # replicate documents so the pipeline measurement is sustained throughput,
 # not fixed Spark overhead (5k docs × 20 = 100k clips by default)
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "20"))
+SLOW_CUTOFF_S = 5.0
+# canary nominal walls on an idle host (local[32], this sandbox) — the
+# yardstick a reader compares the recorded canary walls against
+CANARY_NOMINAL = {"jvm_sum": 0.35, "parquet_scan": 0.25}
+
+
+def query_names() -> list[str]:
+    """Every name the bench will time from the registry, in run order —
+    tests/test_job_packaging.py pins this against queries.QUERIES."""
+    from pii_redaction_pipeline_spark.queries import QUERIES
+
+    return sorted(QUERIES)
 
 
 def materialize_clips(spark, sf_dir: str, cache_dir: Path) -> str:
@@ -68,7 +98,36 @@ def timed(fn) -> float:
     return round(time.time() - t0, 3)
 
 
+def bench_runs(run) -> list[float]:
+    """Warm-ups + timed runs, adaptive to the query's wall: sub-5s
+    queries get 2 warm-ups + 3 timed runs (JIT/codegen/regex-compile and
+    Python-worker spawn dominate short walls); ≥5s queries get 1 warm-up
+    + 2 timed runs (cold costs are a small fraction, and extra runs cost
+    real minutes). Returns ALL timed walls; callers take min()."""
+    w1 = timed(run)  # warm-up 1 (also the slow/fast probe)
+    if w1 < SLOW_CUTOFF_S:
+        run()  # warm-up 2
+        return [timed(run) for _ in range(3)]
+    return [timed(run) for _ in range(2)]
+
+
+def canary_walls(spark, clips_path: str) -> dict:
+    """Fixed-cost contention probes (see module docstring)."""
+    from pyspark.sql import functions as F
+
+    def jvm_sum():
+        spark.range(1 << 30, numPartitions=CPUS) \
+            .agg(F.sum("id")).collect()
+
+    def scan():
+        spark.read.parquet(clips_path).count()
+
+    jvm_sum(), scan()  # warm both paths once
+    return {"jvm_sum": timed(jvm_sum), "parquet_scan": timed(scan)}
+
+
 def main() -> None:
+    from pii_redaction_pipeline_spark.functions.blocks import release
     from pii_redaction_pipeline_spark.pipeline import PipelineConfig, apply_pipeline
     from pii_redaction_pipeline_spark.queries import QUERIES
     from pii_redaction_pipeline_spark.session import get_spark
@@ -83,7 +142,10 @@ def main() -> None:
 
     clips = spark.read.parquet(clips_path)
     n_clips = clips.count()
+    raw: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
+
+    canary_start = canary_walls(spark, clips_path)
 
     # headline: full filter+scrub pipeline (text hot path), result count
     # forces full evaluation; noop-agg avoids collect cost skew.
@@ -96,32 +158,47 @@ def main() -> None:
                                                    salt_partitions=None))
         out.groupBy("qa_status", "keep").count().collect()
 
-    run_pipeline()  # warm-up 1: JIT
-    run_pipeline()  # warm-up 2: python worker pool fully spawned
-    t_pipeline = min(timed(run_pipeline), timed(run_pipeline))
+    raw["pipeline_full_text"] = bench_runs(run_pipeline)
+    t_pipeline = min(raw["pipeline_full_text"])
     timings["pipeline_full_text"] = t_pipeline
 
     # audio decode-verify stage throughput
     aclips = spark.read.parquet(audio_path)
+
     def run_audio():
         out = apply_pipeline(aclips, PipelineConfig(with_ppl=False))
         out.agg({"n_samples": "sum"}).collect()
-    run_audio()  # warm-up (python workers re-spawn on Arrow batch change)
-    timings["pipeline_with_audio"] = min(timed(run_audio), timed(run_audio))
 
-    # representative registry queries (JVM-only chain, joins, aggs, dedup)
-    for name in ["scrub_lexicon", "keep_drop_grade", "scrub_counts",
-                 "pricing_summary", "top_suppliers", "dedup_exact",
-                 "token_stats", "events_minutely", "minhash_signatures",
-                 "neardup_pairs_minhash", "jaccard_pairs", "neardup_clusters",
-                 "simhash",
-                 "ann_cosine_topk", "ann_ivf_topk", "embedding_neardup",
-                 "doc_fingerprint"]:
-        fn, _ = QUERIES[name]
-        run = (lambda f=fn: f(spark, SF_DIR)
-               .write.format("noop").mode("overwrite").save())
-        run()  # warm-up: JIT + codegen/regex compile, fresh plan per call
-        timings[name] = min(timed(run), timed(run))
+    raw["pipeline_with_audio"] = bench_runs(run_audio)
+    timings["pipeline_with_audio"] = min(raw["pipeline_with_audio"])
+
+    # every registry query (incl. the audio-bearing flagship) + the
+    # xxhash64 minhash mode; fresh plan per call (AQE caches shuffle
+    # stages per DataFrame instance), blocks released per run so the
+    # 30-query session holds a flat persistent-RDD count
+    def registry_run(fn):
+        def run():
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            release(df)
+        return run
+
+    def minhash_xxh(spark_, sf_dir):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from pii_redaction_pipeline_spark.functions.dedup import (
+            spark_minhash_signatures,
+        )
+        docs = spark_.read.parquet(f"{sf_dir}/documents.parquet")
+        return spark_minhash_signatures(docs, hash_impl="xxhash64")
+
+    to_time = [(name, QUERIES[name][0]) for name in query_names()]
+    to_time.append(("minhash_signatures_xxh", minhash_xxh))
+    for name, fn in to_time:
+        raw[name] = bench_runs(registry_run(fn))
+        timings[name] = min(raw[name])
+
+    canary_end = canary_walls(spark, clips_path)
 
     clips_per_sec = round(n_clips / t_pipeline, 1)
     print(json.dumps({
@@ -129,6 +206,9 @@ def main() -> None:
         "value": t_pipeline,
         "unit": "sec",
         "queries": timings,
+        "raw": raw,
+        "canary": {"start": canary_start, "end": canary_end,
+                   "nominal_idle": CANARY_NOMINAL},
         "sf": SF_DIR,
         "n_clips": n_clips,
         "clips_per_sec": clips_per_sec,

@@ -13,7 +13,10 @@ pinned with `taskset` to exactly the level's core count (emulating W
 levels interleaved A,B,A,B so VM-wide drift hits both equally; median
 of SCALE_ROUNDS rounds.
 
-Writes BENCH/BASELINE.md with throughput at both levels + efficiency.
+Writes BENCH/run-<stamp>.md (+ .json) with throughput at both levels +
+efficiency. BENCH/BASELINE.md is the CURATED record — min-walls pooled
+by hand across multiple independent run sets — and is never touched by
+this script (a re-run used to clobber it; round-3 verdict item).
 """
 
 from __future__ import annotations
@@ -171,6 +174,7 @@ def main() -> None:
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    fstamp = datetime.now(timezone.utc).strftime("%Y%m%d-%H%M%S")
     _job_head = ("salted repartition (8× total cores) → " if SALT
                  else "scan-split-balanced input (no wide exchange) → ")
     md = f"""# BENCH — scaling evidence (N vs 4N executors, separate executor JVMs)
@@ -227,8 +231,14 @@ Raw: `{json.dumps(results)}`
 Reproduce: `SCALE_WORKERS=2,8 SCALE_ROUNDS={ROUNDS} BENCH_REPLICATE={REPLICATE}
 python scaling_bench.py`.
 """
-    (bench_dir / "BASELINE.md").write_text(md)
-    print(json.dumps({"levels": results, "pairs": pairs}))
+    # one timestamped file pair per run — BENCH/BASELINE.md is curated
+    # (hand-pooled min-walls across run sets) and must survive re-runs
+    out = {"stamp": stamp, "sf": SF_DIR, "replicate": REPLICATE,
+           "salt": SALT, "input": INPUT or "materialized",
+           "levels": results, "pairs": pairs}
+    (bench_dir / f"run-{fstamp}.md").write_text(md)
+    (bench_dir / f"run-{fstamp}.json").write_text(json.dumps(out, indent=2))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -81,22 +81,14 @@ def test_stale_zip_refused_and_rebuilt(tmp_path, monkeypatch):
     assert job.zip_matches_source(str(zp))
 
 
-def test_bench_query_names_exist_in_registry():
-    """bench.py times registry queries by name; a rename in queries.py
-    must fail here, not in the driver's per-round bench run."""
-    import ast
+def test_bench_covers_whole_registry():
+    """bench.py must time EVERY registry query (round-4 contract: the
+    driver's BENCH_r{N}.json carries all 30 names), so a rename or an
+    unbenched addition in queries.py fails here, not in the per-round
+    bench run."""
+    import bench
 
     from pii_redaction_pipeline_spark.queries import QUERIES
 
-    tree = ast.parse((Path(job.REPO) / "bench.py").read_text())
-    names = [
-        ast.literal_eval(node)
-        for node in ast.walk(tree)
-        if isinstance(node, ast.List)
-        and all(isinstance(e, ast.Constant) and isinstance(e.value, str)
-                for e in node.elts)
-    ]
-    bench_list = max(names, key=len)  # the query-name list literal
-    assert len(bench_list) >= 15
-    missing = [n for n in bench_list if n not in QUERIES]
-    assert not missing, f"bench.py names not in registry: {missing}"
+    assert set(bench.query_names()) == set(QUERIES)
+    assert len(QUERIES) >= 30
