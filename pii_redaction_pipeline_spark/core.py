@@ -250,17 +250,22 @@ def _normalize_cached(token: str) -> str:
     return v
 
 
-def detect_words(text: str) -> tuple[list[str], list[Match]]:
+def detect_words(text: str,
+                 with_fuzzy: bool = True) -> tuple[list[str], list[Match]]:
     """Two-layer detection over whitespace tokens. Matches are returned in
     positional order (exact then fuzzy, sorted by first word index — the
-    reference sorts by start_time, src/pii_detector.py:163-164)."""
+    reference sorts by start_time, src/pii_detector.py:163-164).
+    with_fuzzy=False runs the exact layer only — the SQL-mirrorable
+    subset used by the pipeline_exact_only oracle row (the fuzzy layer's
+    semantics are not SQL-expressible)."""
     tokens = text.split()
     if not tokens:
         return [], []
     norm = [_normalize_cached(t) for t in tokens]
     matched: set[int] = set()
     matches = exact_match(tokens, norm, matched)
-    matches.extend(fuzzy_match(tokens, norm, matched))
+    if with_fuzzy:
+        matches.extend(fuzzy_match(tokens, norm, matched))
     matches.sort(key=lambda m: m.word_indices[0])
     return tokens, matches
 
@@ -542,14 +547,14 @@ def perplexity(text: str) -> float:
 # Full row pipeline (the oracle the Spark job must agree with)
 # --------------------------------------------------------------------------
 
-def scrub_row(text: str | None) -> dict:
+def scrub_row(text: str | None, with_fuzzy: bool = True) -> dict:
     """UDF kernel: detect → redact → regex-scrub → verification rescan for
     one transcript. This exact function runs inside the pandas UDF
     (functions/scrub.py); everything else (quality, langid, grading CASE)
     is Column expressions."""
     if text is None:
         text = ""
-    tokens, matches = detect_words(text)
+    tokens, matches = detect_words(text, with_fuzzy)
     scrubbed = redact_tokens(tokens, matches)
     scrubbed, ext_counts = regex_scrub(scrubbed)
     vt, _vh = verify_counts(scrubbed)

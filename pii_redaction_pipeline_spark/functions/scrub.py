@@ -22,28 +22,38 @@ from .. import core
 from ..schema import SCRUB_STRUCT
 
 
-@pandas_udf(SCRUB_STRUCT)
-def detect_and_scrub(transcript: pd.Series) -> pd.DataFrame:
-    out = {k.name: [] for k in SCRUB_STRUCT.fields}
-    for text in transcript:
-        r = core.scrub_row(text)
-        ext = r["ext_counts"]
-        out["scrubbed_text"].append(r["scrubbed_text"])
-        out["redactions"].append(r["redactions"])
-        out["n_exact"].append(r["n_exact"])
-        out["n_fuzzy"].append(r["n_fuzzy"])
-        out["n_email"].append(ext.get("email", 0))
-        out["n_ssn"].append(ext.get("ssn", 0))
-        out["n_phone"].append(ext.get("phone", 0))
-        out["n_toxic"].append(ext.get("toxic", 0))
-        out["verify_pii_count"].append(r["verify_pii_count"])
-    return pd.DataFrame(out)
+def make_detect_and_scrub(with_fuzzy: bool = True):
+    """Scrub-UDF factory. with_fuzzy=False runs the exact word path +
+    regex scrub only — the SQL-mirrorable subset that backs the
+    pipeline_exact_only oracle row (queries.py); the flag rides to
+    executors in the UDF closure."""
+    @pandas_udf(SCRUB_STRUCT)
+    def _detect_and_scrub(transcript: pd.Series) -> pd.DataFrame:
+        out = {k.name: [] for k in SCRUB_STRUCT.fields}
+        for text in transcript:
+            r = core.scrub_row(text, with_fuzzy)
+            ext = r["ext_counts"]
+            out["scrubbed_text"].append(r["scrubbed_text"])
+            out["redactions"].append(r["redactions"])
+            out["n_exact"].append(r["n_exact"])
+            out["n_fuzzy"].append(r["n_fuzzy"])
+            out["n_email"].append(ext.get("email", 0))
+            out["n_ssn"].append(ext.get("ssn", 0))
+            out["n_phone"].append(ext.get("phone", 0))
+            out["n_toxic"].append(ext.get("toxic", 0))
+            out["verify_pii_count"].append(r["verify_pii_count"])
+        return pd.DataFrame(out)
+    return _detect_and_scrub
 
 
-def with_scrub(df, text_col: str = "transcript"):
+detect_and_scrub = make_detect_and_scrub()  # the full two-layer default
+
+
+def with_scrub(df, text_col: str = "transcript", with_fuzzy: bool = True):
     """Attach scrub outputs as top-level columns. One UDF call, projected
     into multiple columns (Catalyst collapses the struct access)."""
-    df = df.withColumn("_scrub", detect_and_scrub(F.col(text_col)))
+    udf = detect_and_scrub if with_fuzzy else make_detect_and_scrub(False)
+    df = df.withColumn("_scrub", udf(F.col(text_col)))
     for name in ["scrubbed_text", "redactions", "n_exact", "n_fuzzy",
                  "n_email", "n_ssn", "n_phone", "n_toxic", "verify_pii_count"]:
         df = df.withColumn(name, F.col(f"_scrub.{name}"))

@@ -43,6 +43,10 @@ from .functions.scrub import with_scrub
 class PipelineConfig:
     with_audio_verify: bool = True
     with_ppl: bool = True
+    # False → exact word path + regex scrub only (no fuzzy layer): the
+    # SQL-mirrorable pipeline subset behind the pipeline_exact_only
+    # oracle row; production runs keep the default True
+    with_fuzzy: bool = True
     salt_partitions: int | None = None  # None → leave partitioning to AQE
     text_col: str = "transcript"
 
@@ -82,7 +86,7 @@ def apply_pipeline(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFram
     df = with_quality(df, cfg.text_col)   # pure Column exprs (codegen)
     df = with_langid(df, cfg.text_col)    # pure Column exprs (codegen)
     df = drop_helper_cols(df)
-    df = with_scrub(df, cfg.text_col)     # the one hot-path pandas UDF
+    df = with_scrub(df, cfg.text_col, cfg.with_fuzzy)  # the hot-path pandas UDF
     if audio_on:
         df = with_decode_verify(df)       # only stage that touches `bytes`
     df = with_grade(df)                   # CASE grading; fuses decode_ok

@@ -39,6 +39,20 @@ ENRICH_SQL = (
     "ELSE 'plain filler with nothing of note' END)"
 )
 
+# Enrichment variant for the pipeline_exact_only oracle row: identical to
+# ENRICH_SQL except case 4 drops the intra-token hyphen. Word-path
+# detection tokenizes on WHITESPACE ("Houston-Texas" is one token that
+# normalizes to no lexicon term), while the char-path SQL chain matches
+# \b-bounded substrings (hyphen IS a boundary) — the one construct on
+# which the two exact layers legitimately diverge. The hyphen case stays
+# in ENRICH_SQL (covered by the pytest word-path oracle via
+# pipeline_full); this variant keeps every other clause, including the
+# case-8 typos that pin the fuzzy layer OFF (they must survive
+# unscrubbed here, unlike in pipeline_full).
+EXACT_ENRICH_SQL = ENRICH_SQL.replace(
+    "'the Houston-Texas corridor keeps growing' ",
+    "'the Houston and Texas corridor keeps growing' ")
+
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
@@ -558,13 +572,14 @@ FROM documents
 # driver records the weaker rows-only check, pytest holds the real oracle)
 # ---------------------------------------------------------------------------
 
-def clips_from_documents(spark, sf_dir, with_audio: bool = True):
+def clips_from_documents(spark, sf_dir, with_audio: bool = True,
+                         enrich_sql: str = ENRICH_SQL):
     """Derive a clips-shaped table (BASELINE input_hint) from the driver's
     documents table: transcript = enriched text, audio = seeded WAV."""
     from pyspark.sql import types as T
 
     docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(ENRICH_SQL).alias("transcript"))
+        "doc_id", F.expr(enrich_sql).alias("transcript"))
     df = docs.select(
         F.format_string("clip_%08d", F.col("doc_id")).alias("clip_id"),
         F.col("doc_id"),
@@ -667,6 +682,91 @@ FROM m
 """
 
 
+def q_pipeline_exact_only(spark, sf_dir):
+    """The REAL apply_pipeline (pandas-UDF scrub machinery, fused
+    ArrowEvalPython stage, grade CASE) with the fuzzy layer disabled —
+    every remaining semantic (exact word-path trie + regex scrub +
+    verification rescan + quality/langid/grade) is SQL-mirrorable, so
+    the driver hash-checks scrubbed_text / counts / qa_status / keep
+    END-TO-END through the UDF path. Only the fuzzy delta stays
+    pytest-pinned (via pipeline_full). Runs on EXACT_ENRICH_SQL clips:
+    word-path (whitespace tokens) and char-path (\\b substrings) exact
+    layers agree on every construct except intra-token hyphens, which
+    that enrichment excludes (see EXACT_ENRICH_SQL)."""
+    from .pipeline import PipelineConfig, apply_pipeline
+
+    clips = clips_from_documents(spark, sf_dir, with_audio=False,
+                                 enrich_sql=EXACT_ENRICH_SQL)
+    out = apply_pipeline(clips, PipelineConfig(with_audio_verify=False,
+                                               with_ppl=False,
+                                               with_fuzzy=False))
+    return out.select(
+        "clip_id", "scrubbed_text",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("pii_count").cast("bigint").alias("pii_count"),
+        F.col("verify_pii_count").cast("bigint").alias("verify_pii_count"),
+        "qa_status", "keep")
+
+
+def _sql_pipeline_exact_only() -> str:
+    """DuckDB twin of q_pipeline_exact_only: char-path scrub chain +
+    step counts (n_exact = the 5 lexicon passes; pii_count adds the
+    email/ssn/phone/toxic regex passes — one label insertion per match
+    on both paths, so counts agree whenever the scrubbed strings do) +
+    rescan + the keep_drop grade expressions."""
+    counts = tx.duck_step_count_sqls("etext")
+    lex_cats = ["city", "state", "day", "month", "color"]
+    n_exact = " + ".join(counts[c] for c in lex_cats)
+    n_ext = " + ".join(counts[c] for c in ["email", "ssn", "phone", "toxic"])
+    scrub = tx.duck_scrub_sql("etext")
+    toks = _DUCK_TOKS.replace("coalesce(text,'')", "etext")
+    score_cols = []
+    for lang in lx.LANG_PRIORITY:
+        lits = ", ".join("'" + w + "'" for w in lx.LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, "
+            f"x -> list_contains([{lits}], lower(x)))) AS DOUBLE) / len(toks) "
+            f"ELSE 0.0 END AS s_{lang}")
+    best = "greatest(" + ", ".join(f"s_{l}" for l in lx.LANG_PRIORITY) + ")"
+    return f"""
+WITH e AS (SELECT printf('clip_%08d', doc_id) AS clip_id,
+                  {EXACT_ENRICH_SQL} AS etext FROM documents),
+t AS (SELECT clip_id, etext, {toks} AS toks,
+             {scrub} AS scrubbed_text,
+             CAST({n_exact} AS BIGINT) AS n_exact,
+             CAST({n_exact} + {n_ext} AS BIGINT) AS pii_count
+      FROM e),
+m AS (SELECT clip_id, etext, scrubbed_text, n_exact, pii_count,
+        {tx.duck_rescan_count_sql('scrubbed_text')} AS verify_pii_count,
+        CAST(len(toks) AS BIGINT) AS word_cnt,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS DOUBLE)
+            / len(toks) ELSE 0.0 END AS distinct_ratio,
+        CASE WHEN len(etext) > 0 THEN
+          CAST(len(regexp_replace(etext, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+            / len(etext) ELSE 0.0 END AS symbol_density,
+        {", ".join(score_cols)}
+      FROM t),
+g AS (SELECT clip_id, scrubbed_text, n_exact, pii_count, verify_pii_count,
+        CASE WHEN verify_pii_count = 0 THEN 'PASS'
+             WHEN verify_pii_count <= {lx.VERIFY_REVIEW_THRESHOLD}
+               THEN 'REVIEW_REQUIRED'
+             ELSE 'FAIL' END AS qa_status,
+        (word_cnt >= {lx.QUALITY_MIN_WORDS}
+         AND word_cnt <= {lx.QUALITY_MAX_WORDS}
+         AND (word_cnt < {lx.QUALITY_DISTINCT_RATIO_MIN_WORDS}
+              OR distinct_ratio >= {lx.QUALITY_MIN_DISTINCT_RATIO})
+         AND symbol_density <= {lx.QUALITY_MAX_SYMBOL_DENSITY}) AS quality_ok,
+        {best} AS lang_conf
+      FROM m)
+SELECT clip_id, scrubbed_text, n_exact, pii_count, verify_pii_count,
+       qa_status,
+       (quality_ok AND lang_conf >= {lx.LANGID_MIN_CONFIDENCE}
+        AND qa_status = 'PASS') AS keep
+FROM g
+"""
+
+
 def q_wer_scrub_effect(spark, sf_dir):
     """WER operator (reference src/wer_calculator.py): distance between
     original and scrubbed text quantifies redaction impact. Exposes the
@@ -751,6 +851,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "pipeline_full": (q_pipeline_full, None),       # rows-only: fuzzy layer
+    "pipeline_exact_only": (q_pipeline_exact_only, _sql_pipeline_exact_only()),
     "pipeline_grade_cols": (q_pipeline_grade_cols, _sql_pipeline_grade_cols()),
     "wer_scrub_effect": (q_wer_scrub_effect, _sql_wer_scrub_effect()),
 }

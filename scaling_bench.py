@@ -57,22 +57,31 @@ SALT = os.environ.get("SCALE_SALT", "0") == "1"
 # SCALE_INPUT overrides the materialized clips path (e.g. a finer-grained
 # file layout emulating production row-group granularity)
 INPUT = os.environ.get("SCALE_INPUT", "")
+# SCALE_MAX_PARTITION_BYTES pins spark.sql.files.maxPartitionBytes —
+# production tunes it to ~(table bytes)/(8 × total cores) (pipeline.py);
+# the skew-fixture experiment (skew_fixture.py) pins it to the hot-file
+# size so every file is its own scan split and the salt-vs-scan-balance
+# comparison is not confounded by file packing
+MAX_PARTITION_BYTES = os.environ.get("SCALE_MAX_PARTITION_BYTES", "")
 
 
 def _cluster_session(workers: int):
     from pii_redaction_pipeline_spark.session import get_spark
 
     cores = workers * CORES_PER_WORKER
+    extra = {
+        "spark.executor.memory": "2600m",
+        "spark.executorEnv.PYTHONPATH": str(REPO),
+        "spark.pyspark.python": sys.executable,
+        "spark.driver.memory": "4g",
+    }
+    if MAX_PARTITION_BYTES:
+        extra["spark.sql.files.maxPartitionBytes"] = MAX_PARTITION_BYTES
     return get_spark(
         app=f"scale_w{workers}",
         master=f"local-cluster[{workers},{CORES_PER_WORKER},3072]",
         shuffle_partitions=cores,
-        extra_conf={
-            "spark.executor.memory": "2600m",
-            "spark.executorEnv.PYTHONPATH": str(REPO),
-            "spark.pyspark.python": sys.executable,
-            "spark.driver.memory": "4g",
-        })
+        extra_conf=extra)
 
 
 def run_once(workers: int, clips_path: str) -> float:

@@ -347,3 +347,17 @@ def test_prod_backends_require_explicit_opt_in(monkeypatch):
     finally:
         langid._FT_MODEL = None
         perplexity._KENLM_MODEL = None
+
+
+def test_scrub_row_fuzzy_toggle():
+    """with_fuzzy=False runs the exact layer only (the SQL-mirrorable
+    subset behind the pipeline_exact_only oracle row): typos that the
+    fuzzy layer would catch survive, exact matches still scrub."""
+    text = "we visited huston and Houston in May- no, in January"
+    full = core.scrub_row(text)
+    exact = core.scrub_row(text, with_fuzzy=False)
+    assert full["n_fuzzy"] >= 1 and "huston" not in full["scrubbed_text"]
+    assert exact["n_fuzzy"] == 0 and "huston" in exact["scrubbed_text"]
+    assert "[CITY]" in exact["scrubbed_text"]          # exact layer active
+    assert "[MONTH]" in exact["scrubbed_text"]         # phrase/context logic
+    assert exact["n_exact"] == full["n_exact"]
