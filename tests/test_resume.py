@@ -99,3 +99,70 @@ def test_half_written_bucket_overwritten(spark, clips, tmp_path):
     rr.run(clips, process)
     assert rr.results().count() == N
     assert rr.results().select("clip_id").distinct().count() == N
+
+
+def test_write_partitioned_dispatch_iceberg_and_parquet():
+    """The Iceberg branch can't execute in-sandbox (no Iceberg jars —
+    SURVEY §7.4), but its DISPATCH can be pinned: a configured Iceberg
+    catalog + a table-name target must route through
+    writeTo().overwritePartitions() (snapshot-atomic per-partition
+    overwrite), and a path target must route through the parquet
+    dynamic-partition-overwrite chain. Fake objects capture the calls."""
+    from pii_redaction_pipeline_spark.sources import tableio
+
+    calls = []
+
+    class FakeWriteTo:
+        def overwritePartitions(self):
+            calls.append("overwritePartitions")
+
+    class FakeWriter:
+        def mode(self, m):
+            calls.append(("mode", m))
+            return self
+
+        def option(self, k, v):
+            calls.append(("option", k, v))
+            return self
+
+        def partitionBy(self, c):
+            calls.append(("partitionBy", c))
+            return self
+
+        def parquet(self, path):
+            calls.append(("parquet", path))
+
+    class FakeDF:
+        write = FakeWriter()
+
+        def writeTo(self, target):
+            calls.append(("writeTo", target))
+            return FakeWriteTo()
+
+    class FakeConf:
+        def __init__(self, impl):
+            self.impl = impl
+
+        def get(self, key, default=""):
+            if key == "spark.sql.catalog.spark_catalog":
+                return self.impl
+            return default
+
+    class FakeSpark:
+        def __init__(self, impl):
+            self.conf = FakeConf(impl)
+
+    iceberg = FakeSpark("org.apache.iceberg.spark.SparkCatalog")
+    tableio.write_partitioned(FakeDF(), "catalog.db.results", iceberg)
+    assert calls == [("writeTo", "catalog.db.results"), "overwritePartitions"]
+
+    calls.clear()
+    tableio.write_partitioned(FakeDF(), "/warehouse/out/results", iceberg)
+    assert calls == [("mode", "overwrite"),
+                     ("option", "partitionOverwriteMode", "dynamic"),
+                     ("partitionBy", tableio.BUCKET_COL),
+                     ("parquet", "/warehouse/out/results")]
+
+    calls.clear()  # no catalog configured → parquet even for a table name
+    tableio.write_partitioned(FakeDF(), "db.results", FakeSpark(""))
+    assert calls[-1] == ("parquet", "db.results")
