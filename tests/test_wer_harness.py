@@ -92,3 +92,51 @@ def test_wer_udf_matches_core(spark):
             assert math.isinf(r["wer"])
         else:
             assert math.isclose(r["wer"], exp["wer"], rel_tol=1e-12)
+
+
+def test_wer_counts_batch_equals_core_wer_fuzz():
+    """The batched numpy DP (the UDF kernel) must equal core.wer (the
+    scalar oracle, itself reference-parity-pinned) row-for-row on a
+    mutation corpus: same wer, same canonical S/I/D split (tie-break
+    sub ≤ ins ≤ del), same edge handling (empty/whitespace/punct rows,
+    m=0 inf convention)."""
+    import random
+
+    from pii_redaction_pipeline_spark import core
+    from pii_redaction_pipeline_spark.functions.wer import wer_counts_batch
+
+    random.seed(7)
+    W = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+         "theta", "the", "a", "of"]
+
+    def rand_text(lo, hi):
+        return " ".join(random.choice(W)
+                        for _ in range(random.randint(lo, hi)))
+
+    refs, hyps = [], []
+    for _ in range(1500):
+        r = rand_text(0, 40)
+        if random.random() < 0.7:  # mutated hypothesis (realistic WER)
+            out = []
+            for t in r.split():
+                p = random.random()
+                if p < 0.1:
+                    continue
+                out.append(random.choice(W) if p < 0.2 else t)
+                if random.random() < 0.1:
+                    out.append(random.choice(W))
+            h = " ".join(out)
+        else:
+            h = rand_text(0, 40)
+        refs.append(r)
+        hyps.append(h)
+    refs += ["Hello, WORLD! it's", "", "x", "  ", "a b c"]
+    hyps += ["hello world its", "y", "", "", "a x c d"]
+
+    batch = wer_counts_batch(refs, hyps)
+    for i, (r, h) in enumerate(zip(refs, hyps)):
+        want = core.wer(r, h)
+        for k in want:
+            got = batch[k][i]
+            assert want[k] == got or (want[k] != want[k] and got != got), \
+                (i, k, want[k], got, r, h)
