@@ -140,3 +140,30 @@ def test_wer_counts_batch_equals_core_wer_fuzz():
             got = batch[k][i]
             assert want[k] == got or (want[k] != want[k] and got != got), \
                 (i, k, want[k], got, r, h)
+
+
+def test_wer_counts_batch_long_doc_chunk_path():
+    """A 1,500-word row exceeds the mixed-chunk cell budget and takes the
+    single-row chunk path; counts must still equal core.wer. Also mixes
+    in short rows so the size-sorted chunking scatter-back is exercised
+    (results must land at their ORIGINAL indices)."""
+    import random
+
+    from pii_redaction_pipeline_spark import core
+    from pii_redaction_pipeline_spark.functions.wer import wer_counts_batch
+
+    random.seed(11)
+    W = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    long_ref = " ".join(random.choice(W) for _ in range(1500))
+    long_hyp = " ".join(
+        random.choice(W) if random.random() < 0.1 else t
+        for t in long_ref.split() if random.random() > 0.05)
+    refs = ["aa bb", long_ref, "", "cc dd ee"]
+    hyps = ["aa xx", long_hyp, "zz", "cc ee"]
+    batch = wer_counts_batch(refs, hyps)
+    for i, (r, h) in enumerate(zip(refs, hyps)):
+        want = core.wer(r, h)
+        for k in want:
+            got = batch[k][i]
+            assert want[k] == got or (want[k] != want[k] and got != got), \
+                (i, k, want[k], got)
