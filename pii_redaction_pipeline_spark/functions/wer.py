@@ -110,10 +110,10 @@ def _wer_dp_chunk(R: np.ndarray, H: np.ndarray, m: np.ndarray,
 def wer_counts_batch(references: list[str],
                      hypotheses: list[str]) -> dict[str, np.ndarray]:
     """Batched twin of core.wer over many (reference, hypothesis) rows —
-    identical outputs row-for-row (fuzz-pinned), ~20× cheaper. Rows are
-    sorted by DP size and chunked under a fixed cell budget so padding
-    waste and the op-tensor footprint stay bounded; results scatter back
-    to input order."""
+    identical outputs row-for-row (fuzz-pinned), measured 5× cheaper on
+    100-word docs. Rows are sorted by DP size and chunked under a fixed
+    cell budget so padding waste and the op-tensor footprint stay
+    bounded; results scatter back to input order."""
     B = len(references)
     refs = [core.wer_normalize(r or "") for r in references]
     hyps = [core.wer_normalize(h or "") for h in hypotheses]
