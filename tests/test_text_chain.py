@@ -95,3 +95,43 @@ def test_rescan_counts_leftovers():
         want, _ = core.verify_counts(scrubbed)
         assert want >= 1, injected
         assert len(rescan.findall(scrubbed)) == want, injected
+
+
+def test_exact_word_path_equals_chain_on_clean_term_tokens():
+    """The equivalence the pipeline_exact_only ORACLE row rests on:
+    scrub_row(with_fuzzy=False) (word-path trie over whitespace tokens +
+    regex scrub) equals the char-path chain whenever lexicon terms occur
+    as bare whitespace-delimited tokens — the EXACT_ENRICH_SQL corpus
+    contract. (Outside that domain they legitimately diverge: the word
+    path tokenizes on whitespace, the chain matches \\b-bounded
+    substrings — "Houston-Texas", "houston's", "foo,houston".)
+    Randomized mix of every lexicon phrase (incl. overlapping multi-word
+    city/state prefixes), soup words, fuzzy-bait typos (must survive
+    BOTH paths with fuzzy off), and regex-scrub targets."""
+    import random
+
+    random.seed(23)
+    terms = [t for t, _ in lx.SORTED_TERMS]
+    junk = ["spark", "agg", "xyzzy", "value", "row",
+            "jane.doe@example.com", "(555)", "123-4567", "123-45-6789",
+            "huston", "febuary", "phenix", "idiot", "42", "I", "it"]
+
+    def full_chain(text: str) -> str:
+        for pat, rep in tx.scrub_steps():
+            text = re.sub(pat, rep, text)
+        return text
+
+    pool = terms + junk
+    n_checked = 0
+    for _ in range(300):
+        k = random.randint(0, 14)
+        toks = [random.choice(pool) for _ in range(k)]
+        # random casing — normalize/(?i) must agree across paths
+        toks = [t.upper() if random.random() < 0.2 else
+                t.title() if random.random() < 0.2 else t for t in toks]
+        text = " ".join(toks)
+        got = core.scrub_row(text, with_fuzzy=False)["scrubbed_text"]
+        want = full_chain(text)
+        assert got == want, repr(text)
+        n_checked += 1
+    assert n_checked == 300
