@@ -111,6 +111,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--max-buckets", type=int, default=None)
     ap.add_argument("--no-audio-verify", action="store_true")
     ap.add_argument("--no-ppl", action="store_true")
+    ap.add_argument(
+        "--salt-partitions", type=int, default=None,
+        help="opt-in salted repartition partition count (use ~8x total "
+             "cores) for corpora whose per-row cost is not "
+             "byte-proportional — hot-language model paths, mixed "
+             "MB-audio/tiny rows. Default off: balance comes from scan "
+             "splits with zero data movement. Validated in "
+             "BENCH/SALT_VALIDATION.md: 2.6-6.6x on a cost-skewed "
+             "fixture, pure overhead on a uniform one.")
     ap.add_argument("--make-zip", action="store_true")
     args = ap.parse_args(argv)
 
@@ -150,7 +159,8 @@ def main(argv: list[str] | None = None) -> None:
         clips = spark.read.table(args.input)  # Iceberg catalog table
 
     cfg = PipelineConfig(with_audio_verify=not args.no_audio_verify,
-                         with_ppl=not args.no_ppl)
+                         with_ppl=not args.no_ppl,
+                         salt_partitions=args.salt_partitions)
 
     def process(df):
         return apply_pipeline(df, cfg).drop("redactions")
