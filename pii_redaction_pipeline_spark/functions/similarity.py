@@ -279,6 +279,108 @@ FROM ranked WHERE rank <= {k}
 
 
 # ---------------------------------------------------------------------------
+# IVF-flat with a DATA-DEPENDENT coarse quantizer (centroid cells)
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 8
+
+
+def spark_cosine_topk_ivf_centroid(emb: DataFrame, n_probes: int = 8,
+                                   k: int = 3) -> DataFrame:
+    """IVF-flat ANN with centroid cells — the data-DEPENDENT counterpart
+    of the sign-bucket IVF (sign patterns partition space obliviously;
+    centroid cells follow the corpus distribution, the standard IVF
+    design). Coarse quantizer: every vector is assigned to its nearest
+    centroid (L2, rounded to 6 before argmin, ties to the lowest
+    centroid id — both engines agree bit-for-bit on the rounded value);
+    probes search their own cell. Plan shape is identical to the
+    sign-bucket variant — centroids ride to executors in the UDF closure
+    (K rows, metadata-scale, the probe-broadcast pattern), assignment is
+    one vectorized numpy distance per Arrow batch with NO shuffle, then
+    a broadcast equi-join on cell id + per-probe window.
+
+    Centroid rule: the K lowest-vec_id vectors. That keeps the operator
+    deterministic and fully SQL-oracle-able (the DuckDB twin recomputes
+    the same assignment relationally). At production scale the rule is
+    replaced by sampled k-means centroids (driver-side numpy Lloyd's on
+    a metadata-scale sample — standard IVF training); every plan
+    property above is unchanged by where the centroid matrix comes
+    from."""
+    rows = (emb.where(F.col("vec_id") < N_CENTROIDS)
+            .select("vec_id", "embedding").collect())
+    if not rows:
+        return emb.sparkSession.createDataFrame(
+            [], "q_id long, n_id long, sim double, rank long")
+    rows.sort(key=lambda r: r["vec_id"])
+    c_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    C = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def cell(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="int32")
+        V = _stack(embs)
+        d = np.round(
+            np.sqrt(((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)), 6)
+        # argmin returns the FIRST min index; c_ids ascending ⇒ ties
+        # break to the lowest centroid id, same as the SQL row_number
+        return pd.Series(c_ids[np.argmin(d, axis=1)].astype(np.int32))
+
+    base = emb.withColumn("_cell", cell("embedding"))
+    probes = (base.where(F.col("vec_id") < n_probes)
+              .select(F.col("vec_id").alias("q_id"),
+                      F.col("embedding").alias("q_emb"),
+                      F.col("_cell").alias("qc")))
+    cand = base.select(F.col("vec_id").alias("n_id"),
+                       F.col("embedding").alias("n_emb"),
+                       F.col("_cell").alias("nc"))
+    cos = cosine_pair_udf()
+    j = (cand.join(F.broadcast(probes), F.col("nc") == F.col("qc"))
+         .where(F.col("n_id") != F.col("q_id"))
+         .withColumn("sim", cos(F.col("q_emb"), F.col("n_emb"))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (j.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "n_id", "sim",
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
+def duck_cosine_topk_ivf_centroid_sql(n_probes: int = 8, k: int = 3) -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), cent AS (
+  SELECT vec_id AS c_id, emb AS c_emb FROM base WHERE vec_id < {N_CENTROIDS}
+), asg AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT b.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY round(list_distance(b.emb, c.c_emb), 6) ASC,
+                      c.c_id ASC) AS rn
+    FROM base b CROSS JOIN cent c) WHERE rn = 1
+), probes AS (
+  SELECT b.vec_id AS q_id, b.emb AS q_emb, a.cell AS qc
+  FROM base b JOIN asg a USING (vec_id) WHERE b.vec_id < {n_probes}
+), scored AS (
+  SELECT q_id, b.vec_id AS n_id,
+         round(list_dot_product(q_emb, b.emb) /
+               (sqrt(list_dot_product(q_emb, q_emb)) *
+                sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+  FROM base b JOIN asg a ON b.vec_id = a.vec_id
+  JOIN probes p ON a.cell = p.qc
+  WHERE b.vec_id <> p.q_id
+), ranked AS (
+  SELECT q_id, n_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT q_id, n_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup pairs: LSH candidates → exact verify
 # ---------------------------------------------------------------------------
 

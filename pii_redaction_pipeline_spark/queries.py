@@ -507,6 +507,13 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
     return spark_cosine_topk_ivf_multiprobe(_read(spark, sf_dir, "embeddings"))
 
 
+def q_ann_ivf_centroid(spark, sf_dir):
+    """IVF-flat with data-dependent centroid cells (vs the sign-bucket
+    variant's data-oblivious space partition)."""
+    from .functions.similarity import spark_cosine_topk_ivf_centroid
+    return spark_cosine_topk_ivf_centroid(_read(spark, sf_dir, "embeddings"))
+
+
 def q_lang_char_median(spark, sf_dir):
     """Grouped custom aggregation via applyInPandas (UDAF surface): per-
     language doc count + median n_chars. The grouped-map shape is the
@@ -867,6 +874,7 @@ def _register_dedup_similarity() -> None:
     )
     from .functions.fuzzy_sql import duck_fuzzy_vocab_sql
     from .functions.similarity import (
+        duck_cosine_topk_ivf_centroid_sql,
         duck_cosine_topk_ivf_multiprobe_sql,
         duck_cosine_topk_ivf_sql,
         duck_cosine_topk_sql,
@@ -885,6 +893,8 @@ def _register_dedup_similarity() -> None:
         "ann_ivf_topk": (q_ann_ivf_topk, duck_cosine_topk_ivf_sql()),
         "ann_ivf_multiprobe": (q_ann_ivf_multiprobe,
                                duck_cosine_topk_ivf_multiprobe_sql()),
+        "ann_ivf_centroid": (q_ann_ivf_centroid,
+                             duck_cosine_topk_ivf_centroid_sql()),
         "lang_char_median": (q_lang_char_median, SQL_LANG_CHAR_MEDIAN),
         "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     })

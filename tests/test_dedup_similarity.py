@@ -334,3 +334,22 @@ def test_release_frees_all_blocks(spark, planted):
             break
         time.sleep(0.1)
     assert len(jsc.getRDDStorageInfo()) <= before
+
+
+def test_centroid_ivf_finds_planted_dups(planted):
+    """Centroid-cell IVF: a planted near-duplicate (cosine > 0.99) lands
+    in the same centroid cell as its source almost surely (nearest-
+    centroid assignment is robust to the small perturbation), so the
+    probe must retrieve it at rank 1; and the plan must stay a broadcast
+    equi-join (no cartesian)."""
+    from pii_redaction_pipeline_spark.functions.similarity import (
+        spark_cosine_topk_ivf_centroid,
+    )
+
+    out = spark_cosine_topk_ivf_centroid(planted, n_probes=N_DUPS, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    top1 = {r.q_id: r.n_id for r in out.where("rank = 1").collect()}
+    hits = sum(1 for i in range(N_DUPS) if top1.get(i) == N_BASE + i)
+    assert hits >= 0.9 * N_DUPS, f"{hits}/{N_DUPS}"
