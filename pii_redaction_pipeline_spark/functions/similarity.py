@@ -285,8 +285,81 @@ FROM ranked WHERE rank <= {k}
 N_CENTROIDS = 8
 
 
+def _cell_assign_udf(C: np.ndarray, c_ids: np.ndarray):
+    """Vectorized nearest-centroid assignment: one numpy distance matrix
+    per Arrow batch, centroids in the closure (K×D — metadata-scale).
+    Rounded to 6 before argmin so Spark and the DuckDB oracle agree on
+    the assignment bit-for-bit; ties break to the lowest centroid id
+    (argmin = first index, c_ids ascending)."""
+    @F.pandas_udf("int")
+    def cell(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="int32")
+        V = _stack(embs)
+        d = np.round(
+            np.sqrt(((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)), 6)
+        return pd.Series(c_ids[np.argmin(d, axis=1)].astype(np.int32))
+    return cell
+
+
+def train_ivf_centroids(emb: DataFrame, k: int = N_CENTROIDS,
+                        n_iters: int = 5,
+                        sample_fraction: float | None = None,
+                        history: list | None = None) -> np.ndarray:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer — the
+    production replacement for the deterministic seed-centroid rule.
+    Init = the k lowest-vec_id vectors (deterministic, same as the seed
+    rule, so results are reproducible run-to-run). Each iteration:
+      1. assign every vector to its nearest centroid — the vectorized
+         closure UDF, NO shuffle;
+      2. recompute the per-cell mean distributively: posexplode the
+         embedding to (cell, dim, value) and avg per (cell, dim) — one
+         map-side-combining hash aggregate whose output is k×d rows
+         (metadata-scale), collected to the next centroid matrix.
+    Empty cells keep their previous centroid (standard Lloyd fallback).
+    At 10^9+ vectors pass `sample_fraction` to train on a seeded sample
+    (standard IVF practice) and assign the full corpus once at the end.
+    `history` (optional) receives the per-iteration mean squared
+    assignment distance — Lloyd's monotonic descent, test-pinned."""
+    train = (emb.sample(fraction=sample_fraction, seed=42)
+             if sample_fraction else emb)
+    rows = (train.orderBy("vec_id").limit(k)
+            .select("vec_id", "embedding").collect())
+    if not rows:
+        raise ValueError("cannot train centroids on an empty table")
+    C = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    c_ids = np.arange(len(C), dtype=np.int64)
+    for _ in range(n_iters):
+        cell = _cell_assign_udf(C, c_ids)
+        assigned = train.withColumn("_cell", cell("embedding"))
+        if history is not None:
+            # mean squared distance to the assigned centroid: the Lloyd
+            # objective; computed in the same pass shape (tiny agg)
+            cost_rows = (assigned.select(
+                "_cell", F.posexplode("embedding").alias("pos", "v"))
+                .groupBy("_cell", "pos").agg(
+                    F.sum("v").alias("s"), F.sum(F.expr("v*v")).alias("s2"),
+                    F.count(F.lit(1)).alias("n")).collect())
+            cost = 0.0
+            for r in cost_rows:
+                c = C[r["_cell"], r["pos"]]
+                cost += r["s2"] - 2 * c * r["s"] + r["n"] * c * c
+            n_vecs = sum(r["n"] for r in cost_rows if r["pos"] == 0)
+            history.append(cost / max(n_vecs, 1))
+        means = (assigned.select(
+            "_cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("_cell", "pos").agg(F.avg("v").alias("m"))
+            .collect())
+        nxt = C.copy()  # empty cells keep their previous centroid
+        for r in means:
+            nxt[r["_cell"], r["pos"]] = r["m"]
+        C = nxt
+    return C
+
+
 def spark_cosine_topk_ivf_centroid(emb: DataFrame, n_probes: int = 8,
-                                   k: int = 3) -> DataFrame:
+                                   k: int = 3,
+                                   centroids: np.ndarray | None = None) -> DataFrame:
     """IVF-flat ANN with centroid cells — the data-DEPENDENT counterpart
     of the sign-bucket IVF (sign patterns partition space obliviously;
     centroid cells follow the corpus distribution, the standard IVF
@@ -299,34 +372,28 @@ def spark_cosine_topk_ivf_centroid(emb: DataFrame, n_probes: int = 8,
     one vectorized numpy distance per Arrow batch with NO shuffle, then
     a broadcast equi-join on cell id + per-probe window.
 
-    Centroid rule: the K lowest-vec_id vectors. That keeps the operator
-    deterministic and fully SQL-oracle-able (the DuckDB twin recomputes
-    the same assignment relationally). At production scale the rule is
-    replaced by sampled k-means centroids (driver-side numpy Lloyd's on
-    a metadata-scale sample — standard IVF training); every plan
-    property above is unchanged by where the centroid matrix comes
-    from."""
-    rows = (emb.where(F.col("vec_id") < N_CENTROIDS)
-            .select("vec_id", "embedding").collect())
-    if not rows:
-        return emb.sparkSession.createDataFrame(
-            [], "q_id long, n_id long, sim double, rank long")
-    rows.sort(key=lambda r: r["vec_id"])
-    c_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    C = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Default centroid rule: the K lowest-vec_id vectors. That keeps the
+    operator deterministic and fully SQL-oracle-able (the DuckDB twin
+    recomputes the same assignment relationally). Pass
+    `centroids=train_ivf_centroids(emb, ...)` for the production path —
+    distributed Lloyd's k-means (implemented above, descent test-pinned);
+    every plan property is unchanged by where the centroid matrix comes
+    from, only the oracle-able seed rule is registry-exposed."""
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        c_ids = np.arange(len(C), dtype=np.int64)
+    else:
+        rows = (emb.where(F.col("vec_id") < N_CENTROIDS)
+                .select("vec_id", "embedding").collect())
+        if not rows:
+            return emb.sparkSession.createDataFrame(
+                [], "q_id long, n_id long, sim double, rank long")
+        rows.sort(key=lambda r: r["vec_id"])
+        c_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        C = np.array([r["embedding"] for r in rows], dtype=np.float64)
 
-    @F.pandas_udf("int")
-    def cell(embs: pd.Series) -> pd.Series:
-        if len(embs) == 0:
-            return pd.Series([], dtype="int32")
-        V = _stack(embs)
-        d = np.round(
-            np.sqrt(((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)), 6)
-        # argmin returns the FIRST min index; c_ids ascending ⇒ ties
-        # break to the lowest centroid id, same as the SQL row_number
-        return pd.Series(c_ids[np.argmin(d, axis=1)].astype(np.int32))
-
-    base = emb.withColumn("_cell", cell("embedding"))
+    base = emb.withColumn("_cell",
+                          _cell_assign_udf(C, c_ids)(F.col("embedding")))
     probes = (base.where(F.col("vec_id") < n_probes)
               .select(F.col("vec_id").alias("q_id"),
                       F.col("embedding").alias("q_emb"),
