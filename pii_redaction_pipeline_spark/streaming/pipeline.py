@@ -81,6 +81,29 @@ def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFram
         "update", GroupStateTimeout.NoTimeout)
 
 
+def dedup_stream(clips: DataFrame, watermark: str = "10 minutes",
+                 id_col: str = "clip_id",
+                 ts_col: str = "ingest_ts") -> DataFrame:
+    """Streaming exact-dedup: keep the first occurrence of each `id_col`
+    within the watermark horizon (`dropDuplicatesWithinWatermark` —
+    Spark evicts a key's dedup state once its event time falls behind
+    the watermark, so state is bounded by the horizon's key cardinality,
+    not the stream's). The streaming twin of the batch `dedup_exact`
+    canonicalization: a re-delivered or double-ingested clip inside the
+    horizon is dropped; duplicates farther apart than the horizon are
+    the batch job's responsibility (run `q_dedup_exact` over the landed
+    table — the standard lambda split for dedup state that cannot be
+    unbounded at 10^12-clip scale).
+
+    Works on any clips-shaped stream that carries an ingest timestamp;
+    tests pin multi-batch behavior (duplicate in a LATER micro-batch
+    still dropped while inside the horizon) against the batch distinct
+    answer."""
+    return (clips
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark([id_col]))
+
+
 def events_windowed_stream(events: DataFrame, watermark: str = "2 minutes",
                            window: str = "1 minute") -> DataFrame:
     """Watermarked tumbling-window counts per event_type (streaming agg

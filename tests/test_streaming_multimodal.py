@@ -162,3 +162,56 @@ def test_video_frame_sample_stub(spark):
          for r in video_frame_features(clips, n_frames=4).collect()}
     assert a == b                                    # deterministic fake
     assert all(r["ts_ms"] == r["frame_idx"] * 1000.0 for r in rows)
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """Streaming exact-dedup (dropDuplicatesWithinWatermark): duplicates
+    re-delivered in a LATER micro-batch (inside the watermark horizon)
+    must be dropped, and the surviving set must equal the batch distinct
+    answer. Two chunk files → two micro-batches (maxFilesPerTrigger=1);
+    chunk 2 repeats half of chunk 1's clip_ids."""
+    import glob
+    import os
+    import shutil
+    import time as time_mod
+
+    from datetime import datetime, timedelta
+
+    from pii_redaction_pipeline_spark.streaming.pipeline import dedup_stream
+
+    base = datetime(2026, 1, 1, 0, 0, 0)
+    rows1 = [(f"c{i:03d}", base + timedelta(seconds=i), f"t{i}")
+             for i in range(40)]
+    rows2 = ([(f"c{i:03d}", base + timedelta(seconds=100 + i), f"dup{i}")
+              for i in range(20)]            # duplicates of chunk 1
+             + [(f"c{i:03d}", base + timedelta(seconds=100 + i), f"t{i}")
+                for i in range(40, 60)])     # fresh ids
+    schema = "clip_id string, ingest_ts timestamp, transcript string"
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate([rows1, rows2]):
+        tmp = str(tmp_path / f"_stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+        target = str(src / f"chunk_{i}.parquet")
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], target)
+        shutil.rmtree(tmp)
+        t = time_mod.time() - 30 + i * 10
+        os.utime(target, (t, t))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (dedup_stream(stream, watermark="10 minutes")
+         .writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.table("dedup_out")
+    ids = [r["clip_id"] for r in got.select("clip_id").collect()]
+    assert len(ids) == 60                      # 40 + 20 fresh, 20 dropped
+    assert len(set(ids)) == 60                 # no clip_id twice
+    # survivors are the FIRST occurrences: chunk-1 transcripts win
+    t_by_id = {r["clip_id"]: r["transcript"]
+               for r in got.select("clip_id", "transcript").collect()}
+    assert t_by_id["c005"] == "t5" and t_by_id["c045"] == "t45"
