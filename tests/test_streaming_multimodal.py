@@ -215,3 +215,53 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     t_by_id = {r["clip_id"]: r["transcript"]
                for r in got.select("clip_id", "transcript").collect()}
     assert t_by_id["c005"] == "t5" and t_by_id["c045"] == "t45"
+
+
+def test_dedup_stream_state_survives_restart(spark, tmp_path):
+    """Exactly-once across restarts: stop the dedup stream after batch 1,
+    deliver a second file containing duplicates of batch 1, restart from
+    the same checkpoint — the state store must remember batch-1 keys and
+    still drop the late duplicates."""
+    import glob
+    import shutil
+    from datetime import datetime, timedelta
+
+    from pii_redaction_pipeline_spark.streaming.pipeline import dedup_stream
+
+    base = datetime(2026, 1, 1)
+    schema = "clip_id string, ingest_ts timestamp, transcript string"
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def land(name, rows):
+        tmp = str(tmp_path / f"_stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                    str(src / f"{name}.parquet"))
+        shutil.rmtree(tmp)
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = (dedup_stream(stream, watermark="10 minutes")
+             .writeStream.format("parquet")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    land("b1", [(f"c{i}", base + timedelta(seconds=i), "v1")
+                for i in range(20)])
+    run()  # first invocation: 20 rows pass, state checkpointed, stream stops
+
+    land("b2", [(f"c{i}", base + timedelta(seconds=60 + i), "v2")
+                for i in range(10)]          # dups of run 1 — must drop
+         + [(f"d{i}", base + timedelta(seconds=60 + i), "v1")
+            for i in range(5)])              # fresh
+    run()  # restart from the same checkpoint
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 25
+    assert out.select("clip_id").distinct().count() == 25
+    assert out.where("transcript = 'v2'").count() == 0  # late dups dropped
