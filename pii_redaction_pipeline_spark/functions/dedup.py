@@ -433,6 +433,79 @@ def spark_simhash(docs: DataFrame) -> DataFrame:
     return summed.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+SIMHASH_BITS = 16
+SIMHASH_BANDS = 4          # 4 disjoint 4-bit blocks
+SIMHASH_MAX_HAMMING = 3    # pigeonhole: ≤3 flipped bits over 4 blocks
+                           # ⟹ ≥1 block intact ⟹ banding recall = 1.0
+
+
+def spark_simhash_pairs(docs: DataFrame,
+                        max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """SimHash near-dup pairs — the APPLICATION of the signature (the
+    classic Charikar/web-dedup pipeline): candidates = pairs sharing at
+    least one of the 4 disjoint 4-bit signature blocks (a bucketed
+    equi-join on (block_idx, block_value) — the same O(n²)-killer shape
+    as minhash LSH), verified with the exact Hamming distance
+    bit_count(sig_a XOR sig_b) ≤ max_hamming. For max_hamming ≤
+    SIMHASH_BANDS−1 the pigeonhole principle makes candidate recall
+    EXACTLY 1.0: k flipped bits can touch at most k < 4 blocks, so one
+    block is always intact (test-pinned against brute-force Hamming).
+    Signature table is persisted for the self-join + verify joins;
+    caller releases via blocks.release().
+
+    Scale note: 16 signature bits are the SQL-oracle-able variant (both
+    engines derive them from the same md5 nibbles); at 10^12 docs use a
+    64-bit signature (same structure: 16 blocks of 4 bits for Hamming ≤
+    15, or 8×8 for tighter buckets) — 16 bits would bucket-collide
+    massively at that cardinality. `bucket_stats` over (blk, v) is the
+    candidate-volume monitor either way."""
+    sig = spark_simhash(docs).persist()
+    melted = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("blk"),
+                     F.expr(f"(simhash div {16 ** b}) % 16").alias("v"))
+            for b in range(SIMHASH_BANDS)])).alias("bv")
+    ).select("doc_id", "bv.blk", "bv.v")
+    a, b = melted.alias("a"), melted.alias("b")
+    cand = (a.join(b, ["blk", "v"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    j = (cand
+         .join(sig.select(F.col("doc_id").alias("doc_a"),
+                          F.col("simhash").alias("sig_a")), "doc_a")
+         .join(sig.select(F.col("doc_id").alias("doc_b"),
+                          F.col("simhash").alias("sig_b")), "doc_b"))
+    hamming = F.expr("bit_count(sig_a ^ sig_b)")
+    out = (j.select("doc_a", "doc_b",
+                    hamming.cast("bigint").alias("hamming"))
+           .where(F.col("hamming") <= max_hamming))
+    return own(out, "persist", sig)
+
+
+def duck_simhash_pairs_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    blocks = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS blk, (simhash // {16 ** b}) % 16 AS v "
+        f"FROM sig" for b in range(SIMHASH_BANDS))
+    return f"""
+WITH sig AS ({duck_simhash_sql()}),
+melted AS ({blocks}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM melted a JOIN melted b USING (blk, v)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand
+JOIN sig sa ON cand.doc_a = sa.doc_id
+JOIN sig sb ON cand.doc_b = sb.doc_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+"""
+
+
 def duck_simhash_sql() -> str:
     # DuckDB has no conv(); parse the 4 hex digits positionally — still
     # one md5 per token, projected once in the CTE.

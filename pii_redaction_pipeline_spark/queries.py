@@ -480,6 +480,13 @@ def q_simhash(spark, sf_dir):
     return spark_simhash(_read(spark, sf_dir, "documents"))
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: block-banded candidates (pigeonhole
+    recall 1.0 at Hamming ≤ 3) + exact bit_count verify."""
+    from .functions.dedup import spark_simhash_pairs
+    return spark_simhash_pairs(_read(spark, sf_dir, "documents"))
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Connected components over verified near-dup pairs (iterative
     min-label propagation; driver oracle = recursive-CTE closure)."""
@@ -870,6 +877,7 @@ def _register_dedup_similarity() -> None:
         duck_lsh_pairs_sql,
         duck_minhash_sql,
         duck_neardup_clusters_sql,
+        duck_simhash_pairs_sql,
         duck_simhash_sql,
     )
     from .functions.fuzzy_sql import duck_fuzzy_vocab_sql
@@ -888,6 +896,7 @@ def _register_dedup_similarity() -> None:
         "jaccard_pairs": (q_jaccard_pairs, duck_jaccard_pairs_sql()),
         "neardup_clusters": (q_neardup_clusters, duck_neardup_clusters_sql()),
         "simhash": (q_simhash, duck_simhash_sql()),
+        "simhash_pairs": (q_simhash_pairs, duck_simhash_pairs_sql()),
         "ann_cosine_topk": (q_ann_cosine_topk, duck_cosine_topk_sql()),
         "embedding_neardup": (q_embedding_neardup, duck_neardup_pairs_sql()),
         "ann_ivf_topk": (q_ann_ivf_topk, duck_cosine_topk_ivf_sql()),

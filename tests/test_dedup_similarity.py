@@ -380,3 +380,30 @@ def test_train_ivf_centroids_descends_and_improves_recall(planted):
         return sum(1 for i in range(N_DUPS) if top1.get(i) == N_BASE + i)
 
     assert hits(C) >= hits(None) >= 0.9 * N_DUPS
+
+
+def test_simhash_pairs_banding_recall_is_exact(spark):
+    """Pigeonhole guarantee: block-banded candidate generation must find
+    EVERY pair with Hamming ≤ 3 (≤ SIMHASH_BANDS−1) — compared against
+    brute-force Hamming over all collected signatures."""
+    from itertools import combinations
+
+    from pii_redaction_pipeline_spark.functions import blocks as bl
+    from pii_redaction_pipeline_spark.functions.dedup import (
+        SIMHASH_MAX_HAMMING,
+        spark_simhash,
+        spark_simhash_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(120)
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in spark_simhash(docs).collect()}
+    brute = {(a, b) for a, b in combinations(sorted(sigs), 2)
+             if bin(sigs[a] ^ sigs[b]).count("1") <= SIMHASH_MAX_HAMMING}
+    out = spark_simhash_pairs(docs)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+    bl.release(out)
+    assert set(got) == brute                      # recall 1.0, precision 1.0
+    for (a, b), h in got.items():
+        assert h == bin(sigs[a] ^ sigs[b]).count("1")
