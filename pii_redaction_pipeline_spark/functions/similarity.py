@@ -412,6 +412,100 @@ def spark_cosine_topk_ivf_centroid(emb: DataFrame, n_probes: int = 8,
                     F.col("rank").cast("bigint").alias("rank")))
 
 
+def spark_cosine_topk_ivf_centroid_multiprobe(
+        emb: DataFrame, n_probes: int = 8, k: int = 3,
+        nprobe: int = 2,
+        centroids: np.ndarray | None = None) -> DataFrame:
+    """Centroid IVF with the standard `nprobe` recall dial: each probe
+    searches its `nprobe` NEAREST cells (full (rounded-dist, c_id) order
+    — same tie-break as assignment), instead of only its own. The probe
+    side explodes ×nprobe; the plan stays a broadcast equi-join on cell
+    id. nprobe == n_cells degenerates to exact search — the recall/cost
+    dial production IVF deployments tune first."""
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        c_ids = np.arange(len(C), dtype=np.int64)
+    else:
+        rows = (emb.where(F.col("vec_id") < N_CENTROIDS)
+                .select("vec_id", "embedding").collect())
+        if not rows:
+            return emb.sparkSession.createDataFrame(
+                [], "q_id long, n_id long, sim double, rank long")
+        rows.sort(key=lambda r: r["vec_id"])
+        c_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        C = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def near_cells(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="object")
+        V = _stack(embs)
+        d = np.round(
+            np.sqrt(((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)), 6)
+        # full (dist, c_id) order; lexsort's LAST key is primary
+        order = np.lexsort((np.broadcast_to(c_ids, d.shape), d), axis=1)
+        top = c_ids[order[:, :nprobe]].astype(np.int32)
+        return pd.Series(list(top))
+
+    base = emb.withColumn("_cell",
+                          _cell_assign_udf(C, c_ids)(F.col("embedding")))
+    probes = (base.where(F.col("vec_id") < n_probes)
+              .select(F.col("vec_id").alias("q_id"),
+                      F.col("embedding").alias("q_emb"),
+                      F.explode(near_cells(F.col("embedding"))).alias("qc")))
+    cand = base.select(F.col("vec_id").alias("n_id"),
+                       F.col("embedding").alias("n_emb"),
+                       F.col("_cell").alias("nc"))
+    cos = cosine_pair_udf()
+    j = (cand.join(F.broadcast(probes), F.col("nc") == F.col("qc"))
+         .where(F.col("n_id") != F.col("q_id"))
+         .withColumn("sim", cos(F.col("q_emb"), F.col("n_emb"))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (j.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "n_id", "sim",
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
+def duck_cosine_topk_ivf_centroid_multiprobe_sql(n_probes: int = 8,
+                                                 k: int = 3,
+                                                 nprobe: int = 2) -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), cent AS (
+  SELECT vec_id AS c_id, emb AS c_emb FROM base WHERE vec_id < {N_CENTROIDS}
+), ranked_cells AS (
+  SELECT b.vec_id, c.c_id,
+         row_number() OVER (PARTITION BY b.vec_id
+           ORDER BY round(list_distance(b.emb, c.c_emb), 6) ASC,
+                    c.c_id ASC) AS rn
+  FROM base b CROSS JOIN cent c
+), asg AS (
+  SELECT vec_id, c_id AS cell FROM ranked_cells WHERE rn = 1
+), probes AS (
+  SELECT b.vec_id AS q_id, b.emb AS q_emb, r.c_id AS qc
+  FROM base b JOIN ranked_cells r USING (vec_id)
+  WHERE b.vec_id < {n_probes} AND r.rn <= {nprobe}
+), scored AS (
+  SELECT q_id, b.vec_id AS n_id,
+         round(list_dot_product(q_emb, b.emb) /
+               (sqrt(list_dot_product(q_emb, q_emb)) *
+                sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+  FROM base b JOIN asg a ON b.vec_id = a.vec_id
+  JOIN probes p ON a.cell = p.qc
+  WHERE b.vec_id <> p.q_id
+), ranked AS (
+  SELECT q_id, n_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT q_id, n_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def duck_cosine_topk_ivf_centroid_sql(n_probes: int = 8, k: int = 3) -> str:
     return f"""
 WITH base AS (

@@ -521,6 +521,16 @@ def q_ann_ivf_centroid(spark, sf_dir):
     return spark_cosine_topk_ivf_centroid(_read(spark, sf_dir, "embeddings"))
 
 
+def q_ann_ivf_centroid_multiprobe(spark, sf_dir):
+    """Centroid IVF with the nprobe recall dial (each probe searches its
+    2 nearest cells)."""
+    from .functions.similarity import (
+        spark_cosine_topk_ivf_centroid_multiprobe,
+    )
+    return spark_cosine_topk_ivf_centroid_multiprobe(
+        _read(spark, sf_dir, "embeddings"))
+
+
 def q_lang_char_median(spark, sf_dir):
     """Grouped custom aggregation via applyInPandas (UDAF surface): per-
     language doc count + median n_chars. The grouped-map shape is the
@@ -882,6 +892,7 @@ def _register_dedup_similarity() -> None:
     )
     from .functions.fuzzy_sql import duck_fuzzy_vocab_sql
     from .functions.similarity import (
+        duck_cosine_topk_ivf_centroid_multiprobe_sql,
         duck_cosine_topk_ivf_centroid_sql,
         duck_cosine_topk_ivf_multiprobe_sql,
         duck_cosine_topk_ivf_sql,
@@ -904,6 +915,9 @@ def _register_dedup_similarity() -> None:
                                duck_cosine_topk_ivf_multiprobe_sql()),
         "ann_ivf_centroid": (q_ann_ivf_centroid,
                              duck_cosine_topk_ivf_centroid_sql()),
+        "ann_ivf_centroid_multiprobe": (
+            q_ann_ivf_centroid_multiprobe,
+            duck_cosine_topk_ivf_centroid_multiprobe_sql()),
         "lang_char_median": (q_lang_char_median, SQL_LANG_CHAR_MEDIAN),
         "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     })

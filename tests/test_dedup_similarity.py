@@ -407,3 +407,25 @@ def test_simhash_pairs_banding_recall_is_exact(spark):
     assert set(got) == brute                      # recall 1.0, precision 1.0
     for (a, b), h in got.items():
         assert h == bin(sigs[a] ^ sigs[b]).count("1")
+
+
+def test_centroid_multiprobe_recall_geq_single(planted):
+    """The nprobe dial must only ADD candidates: multiprobe (nprobe=2)
+    recall of planted dups ≥ single-probe recall, and every top-k sim is
+    ≥ the single-probe sim at the same rank (a superset candidate pool
+    can only improve the winners)."""
+    from pii_redaction_pipeline_spark.functions.similarity import (
+        spark_cosine_topk_ivf_centroid,
+        spark_cosine_topk_ivf_centroid_multiprobe,
+    )
+
+    single = {(r.q_id, r.rank): r.sim
+              for r in spark_cosine_topk_ivf_centroid(
+                  planted, n_probes=N_DUPS, k=3).collect()}
+    multi = {(r.q_id, r.rank): r.sim
+             for r in spark_cosine_topk_ivf_centroid_multiprobe(
+                 planted, n_probes=N_DUPS, k=3, nprobe=2).collect()}
+    assert len(multi) >= len(single)
+    for key, s_sim in single.items():
+        assert key in multi
+        assert multi[key] >= s_sim - 1e-9
