@@ -80,16 +80,28 @@ def ensure_fresh_py_files(py_files: str = "") -> None:
         # of silently skipping the guard the docstring promises
         if "://" in c:
             scheme, _, rest = c.partition("://")
-            if scheme == "file":
-                c = rest if rest.startswith("/") else "/" + rest
+            # file:// may carry an authority (file://localhost/p/x.zip,
+            # RFC 8089): empty or "localhost" means THIS host — strip it
+            # and verify the path; any OTHER authority is a remote file
+            # we can't byte-check, so it falls through to the loud
+            # unverifiable-scheme warning instead of a silent skip
+            if scheme == "file" and rest.startswith("/"):
+                c = rest  # empty authority: file:///abs/path
+            elif scheme == "file" and rest.partition("/")[0] == "localhost" \
+                    and "/" in rest:
+                c = "/" + rest.partition("/")[2]
             else:
                 if Path(c).name == PKG_ZIP:
                     import warnings
+                    authority = rest.partition("/")[0]
                     warnings.warn(
-                        f"--py-files entry {c!r} uses scheme {scheme!r} and "
-                        f"cannot be verified against local source — the "
-                        f"staleness guard does NOT cover it. Re-upload the "
-                        f"archive when the package changes.", RuntimeWarning)
+                        f"--py-files entry {c!r} uses scheme {scheme!r}"
+                        + (f" with authority {authority!r}"
+                           if scheme == "file" else "")
+                        + " and cannot be verified against local source — "
+                        "the staleness guard does NOT cover it. Re-upload "
+                        "the archive when the package changes.",
+                        RuntimeWarning)
                 continue
         if Path(c).name != PKG_ZIP or not Path(c).exists():
             continue

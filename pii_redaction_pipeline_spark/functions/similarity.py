@@ -285,19 +285,35 @@ FROM ranked WHERE rank <= {k}
 N_CENTROIDS = 8
 
 
+def _rounded_centroid_dists(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(B, K) rounded Euclidean distances batch→centroids via the
+    expansion ‖x−c‖² = ‖x‖² + ‖c‖² − 2·x·c — ONE matmul and a (B, K)
+    result. The naive broadcast form ((V[:,None,:] − C[None,:,:])²)
+    materializes a (B, K, D) tensor: at production IVF scale
+    (K ≈ √N ≈ 65k cells) an 8192-row Arrow batch × 65k × 16 dims is
+    ~68 GB — the kernel OOMs exactly when the operator is most needed
+    (round-4 verdict). The matmul form is O(B·K) memory at identical
+    rounded-to-6 values (float64; clamped at 0 before sqrt so negative
+    ~1e-15 residuals don't NaN), so the DuckDB oracle rows and the
+    lowest-id tie-break are unchanged."""
+    d2 = ((V * V).sum(axis=1)[:, None]
+          + (C * C).sum(axis=1)[None, :]
+          - 2.0 * (V @ C.T))
+    return np.round(np.sqrt(np.maximum(d2, 0.0)), 6)
+
+
 def _cell_assign_udf(C: np.ndarray, c_ids: np.ndarray):
     """Vectorized nearest-centroid assignment: one numpy distance matrix
     per Arrow batch, centroids in the closure (K×D — metadata-scale).
     Rounded to 6 before argmin so Spark and the DuckDB oracle agree on
     the assignment bit-for-bit; ties break to the lowest centroid id
-    (argmin = first index, c_ids ascending)."""
+    (argmin = first index, c_ids ascending). Distances via the
+    bounded-memory matmul kernel (_rounded_centroid_dists)."""
     @F.pandas_udf("int")
     def cell(embs: pd.Series) -> pd.Series:
         if len(embs) == 0:
             return pd.Series([], dtype="int32")
-        V = _stack(embs)
-        d = np.round(
-            np.sqrt(((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)), 6)
+        d = _rounded_centroid_dists(_stack(embs), C)
         return pd.Series(c_ids[np.argmin(d, axis=1)].astype(np.int32))
     return cell
 
@@ -332,27 +348,29 @@ def train_ivf_centroids(emb: DataFrame, k: int = N_CENTROIDS,
     for _ in range(n_iters):
         cell = _cell_assign_udf(C, c_ids)
         assigned = train.withColumn("_cell", cell("embedding"))
+        # ONE map-side-combining hash aggregate per iteration (round-5:
+        # was two separate collect-aggregations over the same posexploded
+        # frame when `history` was requested — jobs halved). sum / sum-sq
+        # / count per (cell, dim) give BOTH the new means (s/n) and the
+        # Lloyd objective Σ‖x−c‖² = Σ(s2 − 2·c·s + n·c²) from the SAME
+        # k×d metadata-scale collect.
+        stats = (assigned.select(
+            "_cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("_cell", "pos").agg(
+                F.sum("v").alias("s"), F.sum(F.expr("v*v")).alias("s2"),
+                F.count(F.lit(1)).alias("n")).collect())
         if history is not None:
-            # mean squared distance to the assigned centroid: the Lloyd
-            # objective; computed in the same pass shape (tiny agg)
-            cost_rows = (assigned.select(
-                "_cell", F.posexplode("embedding").alias("pos", "v"))
-                .groupBy("_cell", "pos").agg(
-                    F.sum("v").alias("s"), F.sum(F.expr("v*v")).alias("s2"),
-                    F.count(F.lit(1)).alias("n")).collect())
+            # mean squared distance to the assigned centroid (the Lloyd
+            # objective) — monotone descent is test-pinned
             cost = 0.0
-            for r in cost_rows:
+            for r in stats:
                 c = C[r["_cell"], r["pos"]]
                 cost += r["s2"] - 2 * c * r["s"] + r["n"] * c * c
-            n_vecs = sum(r["n"] for r in cost_rows if r["pos"] == 0)
+            n_vecs = sum(r["n"] for r in stats if r["pos"] == 0)
             history.append(cost / max(n_vecs, 1))
-        means = (assigned.select(
-            "_cell", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("_cell", "pos").agg(F.avg("v").alias("m"))
-            .collect())
         nxt = C.copy()  # empty cells keep their previous centroid
-        for r in means:
-            nxt[r["_cell"], r["pos"]] = r["m"]
+        for r in stats:
+            nxt[r["_cell"], r["pos"]] = r["s"] / r["n"]
         C = nxt
     return C
 
@@ -439,9 +457,7 @@ def spark_cosine_topk_ivf_centroid_multiprobe(
     def near_cells(embs: pd.Series) -> pd.Series:
         if len(embs) == 0:
             return pd.Series([], dtype="object")
-        V = _stack(embs)
-        d = np.round(
-            np.sqrt(((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)), 6)
+        d = _rounded_centroid_dists(_stack(embs), C)
         # full (dist, c_id) order; lexsort's LAST key is primary
         order = np.lexsort((np.broadcast_to(c_ids, d.shape), d), axis=1)
         top = c_ids[order[:, :nprobe]].astype(np.int32)

@@ -409,6 +409,73 @@ def test_simhash_pairs_banding_recall_is_exact(spark):
         assert h == bin(sigs[a] ^ sigs[b]).count("1")
 
 
+def test_centroid_dist_kernel_matmul_parity_and_bounded_memory():
+    """Round-5 scale fix: centroid distances via ‖x‖²+‖c‖²−2XCᵀ — the
+    (B,K,D) broadcast-difference tensor OOMed at production K (≈√N
+    cells). Two pins: (a) rounded-to-6 values identical to the naive
+    form (so oracle rows + lowest-id tie-break are unchanged), (b) peak
+    allocation at B=8192, K=1024, D=16 stays near the (B,K) result size
+    — the naive tensor alone would be 8192×1024×16×8 B ≈ 1 GiB."""
+    import tracemalloc
+
+    from pii_redaction_pipeline_spark.functions.similarity import (
+        _rounded_centroid_dists,
+    )
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(256, 24))
+    C = rng.normal(size=(64, 24))
+    naive = np.round(np.sqrt(((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)), 6)
+    fast = _rounded_centroid_dists(V, C)
+    assert np.array_equal(naive, fast)
+    # exact-zero distance (row == centroid) must not NaN under the clamp
+    V2 = np.vstack([C[3], V[0]])
+    assert _rounded_centroid_dists(V2, C)[0, 3] == 0.0
+
+    B, K, D = 8192, 1024, 16
+    Vb = rng.normal(size=(B, D))
+    Cb = rng.normal(size=(K, D))
+    tracemalloc.start()
+    _rounded_centroid_dists(Vb, Cb)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    result_bytes = B * K * 8
+    assert peak < 6 * result_bytes, (
+        f"peak {peak / 2**20:.0f} MiB — (B,K,D) tensor is back?")
+
+
+def test_train_ivf_centroids_one_collect_per_iteration(planted):
+    """Round-5: `history` used to cost a SECOND collect-aggregation over
+    the same posexploded frame per Lloyd iteration. Pin: n_iters
+    iterations with history on = exactly n_iters + 1 DataFrame.collect
+    calls (the +1 is the deterministic init read), and the folded stats
+    still produce the same centroids as a history-off run."""
+    from pii_redaction_pipeline_spark.functions.similarity import (
+        train_ivf_centroids,
+    )
+
+    # patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is the
+    # abstract base in pyspark 4.x; classic instances override collect)
+    cls = type(planted)
+    calls = {"n": 0}
+    orig = cls.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    hist: list = []
+    try:
+        cls.collect = counting
+        C_hist = train_ivf_centroids(planted, k=4, n_iters=3, history=hist)
+    finally:
+        cls.collect = orig
+    assert calls["n"] == 3 + 1, calls["n"]
+    assert len(hist) == 3
+    C_plain = train_ivf_centroids(planted, k=4, n_iters=3)
+    assert np.allclose(C_hist, C_plain)
+
+
 def test_centroid_multiprobe_recall_geq_single(planted):
     """The nprobe dial must only ADD candidates: multiprobe (nprobe=2)
     recall of planted dups ≥ single-probe recall, and every top-k sim is
