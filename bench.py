@@ -229,8 +229,17 @@ def main() -> None:
         docs = spark_.read.parquet(f"{sf_dir}/documents.parquet")
         return spark_minhash_signatures(docs, hash_impl="xxhash64")
 
+    def simhash64_pairs_xxh(spark_, sf_dir):
+        from pii_redaction_pipeline_spark.functions.dedup import (
+            spark_simhash64_pairs,
+        )
+        docs = spark_.read.parquet(f"{sf_dir}/documents.parquet")
+        return spark_simhash64_pairs(docs, hash_impl="xxhash64",
+                                     warn_quadratic=False)
+
     to_time = [(name, QUERIES[name][0]) for name in query_names()]
     to_time.append(("minhash_signatures_xxh", minhash_xxh))
+    to_time.append(("simhash64_pairs_xxh", simhash64_pairs_xxh))
     for name, fn in to_time:
         raw[name] = bench_runs(registry_run(fn))
         timings[name] = min(raw[name])

@@ -440,7 +440,8 @@ SIMHASH_MAX_HAMMING = 3    # pigeonhole: ≤3 flipped bits over 4 blocks
 
 
 def spark_simhash_pairs(docs: DataFrame,
-                        max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+                        max_hamming: int = SIMHASH_MAX_HAMMING,
+                        warn_quadratic: bool = True) -> DataFrame:
     """SimHash near-dup pairs — the APPLICATION of the signature (the
     classic Charikar/web-dedup pipeline): candidates = pairs sharing at
     least one of the 4 disjoint 4-bit signature blocks (a bucketed
@@ -454,11 +455,13 @@ def spark_simhash_pairs(docs: DataFrame,
     caller releases via blocks.release().
 
     Scale note: 16 signature bits are the SQL-oracle-able variant (both
-    engines derive them from the same md5 nibbles); at 10^12 docs use a
-    64-bit signature (same structure: 16 blocks of 4 bits for Hamming ≤
-    15, or 8×8 for tighter buckets) — 16 bits would bucket-collide
-    massively at that cardinality. `bucket_stats` over (blk, v) is the
-    candidate-volume monitor either way."""
+    engines derive them from the same md5 nibbles), and its 4-bit
+    blocks are a QUADRATIC candidate generator at corpus scale (random
+    pair collides on ≥1 block w.p. ≈23%) — use spark_simhash64_pairs
+    (the production 4×16-bit variant below, same pigeonhole structure,
+    ~6e-5 random collision) beyond test/oracle corpora. A runtime
+    tripwire (`warn_quadratic`, default on) measures the banded
+    candidate volume via bucket_stats and warns when it reaches ~n²."""
     sig = spark_simhash(docs).persist()
     melted = sig.select(
         "doc_id",
@@ -467,6 +470,8 @@ def spark_simhash_pairs(docs: DataFrame,
                      F.expr(f"(simhash div {16 ** b}) % 16").alias("v"))
             for b in range(SIMHASH_BANDS)])).alias("bv")
     ).select("doc_id", "bv.blk", "bv.v")
+    if warn_quadratic:
+        _warn_if_quadratic(melted, sig.count(), "spark_simhash_pairs")
     a, b = melted.alias("a"), melted.alias("b")
     cand = (a.join(b, ["blk", "v"])
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -527,4 +532,233 @@ WITH toks AS (
   SELECT doc_id, {sums} FROM hashed GROUP BY doc_id
 )
 SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM summed
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash-64 — the PRODUCTION signature width (round-5 verdict item 2).
+#
+# The 16-bit variant above is the SQL-oracle-able teaching/verification
+# size, and its default banding (4 blocks × 4 bits) is a QUADRATIC
+# candidate generator at corpus scale: a random pair collides on ≥1 of
+# the 4-bit blocks w.p. 1 − (1 − 2⁻⁴)⁴ ≈ 23%, so candidates ≈ 0.23·n²/2
+# — a thinly disguised cross join. 64 bits with 4 blocks × 16 bits keeps
+# the identical pigeonhole guarantee (Hamming ≤ 3 ⟹ ≥1 intact block ⟹
+# banding recall exactly 1.0) while a random pair collides w.p.
+# 1 − (1 − 2⁻¹⁶)⁴ ≈ 6.1e-5 — 3,700× fewer false candidates, and the
+# per-band bucket space is 2¹⁶ per block index instead of 2⁴.
+#
+# hash_impl mirrors the minhash pattern (HASH_IMPLS):
+#   - "xxhash64" (default — the production primitive): one native JVM
+#     64-bit digest per token, no hex string materialization; not
+#     DuckDB-expressible, so it is pinned by structural parity + brute-
+#     force-Hamming recall tests and benched, like minhash xxhash64.
+#   - "md5": the 64-bit value is the first 16 hex digits of md5(w),
+#     parsed as two 32-bit halves — byte-identical in DuckDB, so the
+#     registry rows simhash64 / simhash64_pairs are FULLY oracle-checked.
+# Either way the digest is projected ONCE per token and all 64 bit
+# votes derive from it with codegen integer arithmetic (same Catalyst
+# no-CSE-across-aggregates trap as the 16-bit variant; plan-asserted).
+# The signature is a signed BIGINT in two's complement: bit 63 carries
+# weight −2⁶³, so Spark and DuckDB agree on the stored value and
+# bit_count(a ^ b) is the true 64-bit Hamming distance.
+# ---------------------------------------------------------------------------
+
+SIMHASH64_BITS = 64
+SIMHASH64_BANDS = 4        # 4 disjoint 16-bit blocks
+SIMHASH64_BLOCK_BITS = 16
+_I64_MIN = -9223372036854775807 - 1  # two literals: −2⁶³ overflows parsers
+
+
+def _sim64_bit_exprs(hash_impl: str) -> tuple[list, str]:
+    """(per-token projection columns, bit-k SQL template on them)."""
+    if hash_impl == "xxhash64":
+        cols = [F.expr("xxhash64(w)").alias("hv")]
+        return cols, "(shiftright(hv, {k}) & 1)"
+    if hash_impl == "md5":
+        cols = [
+            F.expr("CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)")
+            .alias("hv_hi"),
+            F.expr("CAST(conv(substr(md5(w), 9, 8), 16, 10) AS BIGINT)")
+            .alias("hv_lo"),
+        ]
+        return cols, ("(shiftright(hv_lo, {k}) & 1)" "|SPLIT|"
+                      "(shiftright(hv_hi, {k32}) & 1)")
+    raise ValueError(f"hash_impl must be one of {HASH_IMPLS}, got {hash_impl!r}")
+
+
+def _sim64_assemble(prefix: str = "s") -> F.Column:
+    """Signed-bigint signature from the 64 majority sums: bits 0..62
+    positive weights, bit 63 weight −2⁶³ (two's complement)."""
+    sim = None
+    for k in range(63):
+        bit = F.when(F.col(f"{prefix}{k}") > 0, F.lit(2 ** k)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    sign = (F.when(F.col(f"{prefix}63") > 0, F.lit(_I64_MIN))
+            .otherwise(F.lit(0)))
+    return (sim.cast("bigint") + sign.cast("bigint")).cast("bigint")
+
+
+def spark_simhash64(docs: DataFrame,
+                    hash_impl: str = "xxhash64") -> DataFrame:
+    """64-bit simhash: majority vote per bit over per-token 64-bit
+    hashes. One digest per token (projected before the agg — Catalyst
+    does not CSE across aggregate expressions), 64 codegen sum
+    aggregates, map-side combining."""
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w"))
+    cols, bit_tpl = _sim64_bit_exprs(hash_impl)
+    hashed = toks.select("doc_id", *cols)
+
+    def bit_sql(k: int) -> str:
+        if "|SPLIT|" in bit_tpl:
+            lo, hi = bit_tpl.split("|SPLIT|")
+            return lo.format(k=k) if k < 32 else hi.format(k32=k - 32)
+        return bit_tpl.format(k=k)
+
+    aggs = [
+        F.sum(F.expr(f"CASE WHEN {bit_sql(k)} = 1 THEN 1 ELSE -1 END"))
+        .alias(f"s{k}")
+        for k in range(64)
+    ]
+    summed = hashed.groupBy("doc_id").agg(*aggs)
+    return summed.select("doc_id", _sim64_assemble().alias("simhash"))
+
+
+def _melt_sim64(sig: DataFrame) -> DataFrame:
+    """(doc_id, blk, v) — one row per (doc, 16-bit signature block).
+    Arithmetic shiftright + mask extracts block bits identically in
+    Spark and DuckDB for negative (bit-63-set) signatures — verified
+    numerically in tests."""
+    return sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.expr(f"shiftright(simhash, {SIMHASH64_BLOCK_BITS * b})"
+                       f" & 65535").alias("v"))
+            for b in range(SIMHASH64_BANDS)])).alias("bv")
+    ).select("doc_id", "bv.blk", "bv.v")
+
+
+def simhash64_bucket_stats(docs: DataFrame,
+                           hash_impl: str = "xxhash64") -> DataFrame:
+    """Candidate-volume monitor for the 64-bit banding (see
+    bucket_stats) — the number the 'widen the signature' runbook in
+    SCALE.md keys off."""
+    return bucket_stats(_melt_sim64(spark_simhash64(docs, hash_impl)),
+                        "blk", "v")
+
+
+def _warn_if_quadratic(melted: DataFrame, n_docs: int, label: str,
+                       frac: float = 0.10) -> None:
+    """Runtime tripwire (round-5 verdict item 2): when the banded
+    candidate volume Σ c·(c−1)/2 reaches `frac` of all n·(n−1)/2 pairs,
+    the bucket join is a thinly disguised cross join — warn with the
+    measured volume and the remedy. One tiny aggregate (single row out)
+    over the already-persisted signature table; skipped for n < 2."""
+    if n_docs < 2:
+        return
+    stats = bucket_stats(melted, "blk", "v").collect()[0]
+    possible = n_docs * (n_docs - 1) / 2
+    if stats["candidate_pairs"] >= frac * possible:
+        import warnings
+        warnings.warn(
+            f"{label}: banded candidate volume "
+            f"{stats['candidate_pairs']:,} is "
+            f"{stats['candidate_pairs'] / possible:.0%} of all "
+            f"{int(possible):,} pairs — the bucket join degenerates to "
+            f"~n² at corpus scale. Use spark_simhash64_pairs (4×16-bit "
+            f"blocks, ~6e-5 random collision) or widen the signature.",
+            RuntimeWarning)
+
+
+def spark_simhash64_pairs(docs: DataFrame,
+                          max_hamming: int = SIMHASH64_BANDS - 1,
+                          hash_impl: str = "xxhash64",
+                          warn_quadratic: bool = True) -> DataFrame:
+    """64-bit simhash near-dup pairs — the production-scale variant of
+    spark_simhash_pairs: candidates share ≥1 of 4 disjoint 16-bit
+    blocks (bucketed equi-join on (blk, v)), verified with the exact
+    Hamming distance bit_count(sig_a ^ sig_b) ≤ max_hamming. For
+    max_hamming ≤ 3 the pigeonhole principle again makes candidate
+    recall exactly 1.0 (≤3 flipped bits leave ≥1 of 4 blocks intact;
+    test-pinned against brute force). Signature table persisted for the
+    self-join + verify joins; caller releases via blocks.release()."""
+    sig = spark_simhash64(docs, hash_impl).persist()
+    melted = _melt_sim64(sig)
+    if warn_quadratic:
+        _warn_if_quadratic(melted, sig.count(), "spark_simhash64_pairs")
+    a, b = melted.alias("a"), melted.alias("b")
+    cand = (a.join(b, ["blk", "v"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    j = (cand
+         .join(sig.select(F.col("doc_id").alias("doc_a"),
+                          F.col("simhash").alias("sig_a")), "doc_a")
+         .join(sig.select(F.col("doc_id").alias("doc_b"),
+                          F.col("simhash").alias("sig_b")), "doc_b"))
+    hamming = F.expr("bit_count(sig_a ^ sig_b)")
+    out = (j.select("doc_a", "doc_b",
+                    hamming.cast("bigint").alias("hamming"))
+           .where(F.col("hamming") <= max_hamming))
+    return own(out, "persist", sig)
+
+
+def duck_simhash64_sql() -> str:
+    """DuckDB twin of spark_simhash64(hash_impl='md5'): the 64-bit value
+    is the first 16 md5 hex digits parsed as two 32-bit halves (DuckDB
+    has no conv(); positional strpos parse, digest projected once per
+    token). Bit weights and the two's-complement bit 63 match Spark."""
+    def half(start: int) -> str:
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substr(h, {start + i}, 1)) - 1)"
+            f" * {16 ** (7 - i)}" for i in range(8))
+
+    bits = []
+    for k in range(64):
+        src, kk = ("hv_lo", k) if k < 32 else ("hv_hi", k - 32)
+        bits.append(
+            f"sum(CASE WHEN (({src} >> {kk}) & 1) = 1 THEN 1 ELSE -1 END)"
+            f" AS s{k}")
+    sim = " + ".join(f"(CASE WHEN s{k} > 0 THEN {2 ** k} ELSE 0 END)"
+                     for k in range(63))
+    sim = (f"CAST({sim} AS BIGINT) + "
+           f"(CASE WHEN s63 > 0 THEN CAST({_I64_MIN} AS BIGINT) "
+           f"ELSE 0 END)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents
+), hashed AS (
+  SELECT doc_id, {half(1)} AS hv_hi, {half(9)} AS hv_lo
+  FROM (SELECT doc_id, substr(md5(w), 1, 16) AS h FROM toks)
+), summed AS (
+  SELECT doc_id, {", ".join(bits)} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM summed
+"""
+
+
+def duck_simhash64_pairs_sql(
+        max_hamming: int = SIMHASH64_BANDS - 1) -> str:
+    blocks = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS blk, "
+        f"(simhash >> {SIMHASH64_BLOCK_BITS * b}) & 65535 AS v FROM sig"
+        for b in range(SIMHASH64_BANDS))
+    return f"""
+WITH sig AS ({duck_simhash64_sql()}),
+melted AS ({blocks}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM melted a JOIN melted b USING (blk, v)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand
+JOIN sig sa ON cand.doc_a = sa.doc_id
+JOIN sig sb ON cand.doc_b = sb.doc_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
 """

@@ -487,6 +487,23 @@ def q_simhash_pairs(spark, sf_dir):
     return spark_simhash_pairs(_read(spark, sf_dir, "documents"))
 
 
+def q_simhash64(spark, sf_dir):
+    """64-bit simhash signatures (md5 mode — the DuckDB-oracle-able
+    hash; production runs use hash_impl='xxhash64', structurally
+    parity-tested + benched like minhash)."""
+    from .functions.dedup import spark_simhash64
+    return spark_simhash64(_read(spark, sf_dir, "documents"), hash_impl="md5")
+
+
+def q_simhash64_pairs(spark, sf_dir):
+    """Production-width simhash near-dup pairs: 4×16-bit block banding
+    (pigeonhole recall 1.0 at Hamming ≤ 3, ~6e-5 random-pair collision
+    vs the 16-bit variant's ~23%) + exact bit_count verify."""
+    from .functions.dedup import spark_simhash64_pairs
+    return spark_simhash64_pairs(_read(spark, sf_dir, "documents"),
+                                 hash_impl="md5")
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Connected components over verified near-dup pairs (iterative
     min-label propagation; driver oracle = recursive-CTE closure)."""
@@ -887,6 +904,8 @@ def _register_dedup_similarity() -> None:
         duck_lsh_pairs_sql,
         duck_minhash_sql,
         duck_neardup_clusters_sql,
+        duck_simhash64_pairs_sql,
+        duck_simhash64_sql,
         duck_simhash_pairs_sql,
         duck_simhash_sql,
     )
@@ -908,6 +927,8 @@ def _register_dedup_similarity() -> None:
         "neardup_clusters": (q_neardup_clusters, duck_neardup_clusters_sql()),
         "simhash": (q_simhash, duck_simhash_sql()),
         "simhash_pairs": (q_simhash_pairs, duck_simhash_pairs_sql()),
+        "simhash64": (q_simhash64, duck_simhash64_sql()),
+        "simhash64_pairs": (q_simhash64_pairs, duck_simhash64_pairs_sql()),
         "ann_cosine_topk": (q_ann_cosine_topk, duck_cosine_topk_sql()),
         "embedding_neardup": (q_embedding_neardup, duck_neardup_pairs_sql()),
         "ann_ivf_topk": (q_ann_ivf_topk, duck_cosine_topk_ivf_sql()),

@@ -409,6 +409,101 @@ def test_simhash_pairs_banding_recall_is_exact(spark):
         assert h == bin(sigs[a] ^ sigs[b]).count("1")
 
 
+def test_simhash64_pairs_banding_recall_is_exact(spark):
+    """Production-width pigeonhole guarantee (xxhash64 mode): 4×16-bit
+    block banding must find EVERY pair with 64-bit Hamming ≤ 3, vs
+    brute force over collected signatures. Signatures are signed
+    bigints (two's complement) — Hamming computed under a 64-bit mask."""
+    from itertools import combinations
+
+    from pii_redaction_pipeline_spark.functions import blocks as bl
+    from pii_redaction_pipeline_spark.functions.dedup import (
+        spark_simhash64,
+        spark_simhash64_pairs,
+    )
+
+    M = (1 << 64) - 1
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(120)
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in spark_simhash64(docs).collect()}
+    brute = {(a, b) for a, b in combinations(sorted(sigs), 2)
+             if bin((sigs[a] ^ sigs[b]) & M).count("1") <= 3}
+    out = spark_simhash64_pairs(docs, warn_quadratic=False)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+    bl.release(out)
+    assert set(got) == brute
+    for (a, b), h in got.items():
+        assert h == bin((sigs[a] ^ sigs[b]) & M).count("1")
+
+
+def test_simhash64_mode_parity(spark):
+    """md5 mode (the DuckDB-oracle-able hash) and xxhash64 (production)
+    must preserve the simhash STRUCTURE: exact-duplicate docs get
+    identical signatures (⟹ a hamming-0 pair in BOTH modes), distinct
+    docs differ, and both signatures use the full signed-64-bit range
+    (bit 63 exercised somewhere on a real corpus)."""
+    from pii_redaction_pipeline_spark.functions.dedup import (
+        spark_simhash64,
+        spark_simhash64_pairs,
+    )
+
+    texts = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+             (2, "alpha beta gamma delta epsilon zeta eta theta"),
+             (3, "nothing in common with the others at all here ok")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    for impl in ("md5", "xxhash64"):
+        sig = {r["doc_id"]: r["simhash"]
+               for r in spark_simhash64(docs, hash_impl=impl).collect()}
+        assert sig[1] == sig[2], impl
+        assert sig[1] != sig[3], impl
+        pairs = {(r.doc_a, r.doc_b): r.hamming
+                 for r in spark_simhash64_pairs(
+                     docs, hash_impl=impl, warn_quadratic=False).collect()}
+        assert pairs.get((1, 2)) == 0, impl
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(100)
+    for impl in ("md5", "xxhash64"):
+        vals = [r["simhash"]
+                for r in spark_simhash64(corpus, hash_impl=impl).collect()]
+        assert any(v < 0 for v in vals), impl   # bit 63 in play
+        assert len(set(vals)) > 90, impl        # near-unique on real docs
+
+
+def test_simhash_quadratic_candidate_warning(spark):
+    """The 16-bit variant's 4-bit blocks collide for ~23% of random
+    pairs — the runtime tripwire must warn that the bucket join is
+    degenerating; the 64-bit variant on the same corpus stays silent
+    (collision ~6e-5)."""
+    import warnings as W
+
+    from pii_redaction_pipeline_spark.functions import blocks as bl
+    from pii_redaction_pipeline_spark.functions.dedup import (
+        spark_simhash64_pairs,
+        spark_simhash_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(200)
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        out16 = spark_simhash_pairs(docs)
+        out16.count()
+    bl.release(out16)
+    assert any("candidate volume" in str(x.message)
+               and isinstance(x.message, RuntimeWarning) for x in rec), \
+        [str(x.message)[:60] for x in rec]
+
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        out64 = spark_simhash64_pairs(docs)
+        out64.count()
+    bl.release(out64)
+    assert not any("candidate volume" in str(x.message) for x in rec)
+
+
 def test_centroid_dist_kernel_matmul_parity_and_bounded_memory():
     """Round-5 scale fix: centroid distances via ‖x‖²+‖c‖²−2XCᵀ — the
     (B,K,D) broadcast-difference tensor OOMed at production K (≈√N

@@ -56,6 +56,25 @@ def test_hash_once_invariants(spark):
     assert plan_of(q_doc_fingerprint(spark, SF)).count("md5(") == 1
 
 
+def test_simhash64_hash_once(spark):
+    """The 64-bit simhash projects its digest(s) ONCE per token before
+    the 64-sum aggregate (Catalyst does not CSE across aggregate
+    expressions): xxhash64 mode = exactly one xxhash64() in the plan;
+    md5 mode = two textual md5() occurrences in the SAME projection (one
+    per 32-bit half of a single digest — operator-local subexpression
+    elimination evaluates it once), and NO digest inside the aggregate
+    expressions."""
+    from pii_redaction_pipeline_spark.functions.dedup import spark_simhash64
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan_xx = plan_of(spark_simhash64(docs, hash_impl="xxhash64"))
+    assert plan_xx.count("xxhash64(") == 1
+    plan_md5 = plan_of(spark_simhash64(docs, hash_impl="md5"))
+    assert plan_md5.count("md5(") == 2
+    agg_part = plan_md5.split("HashAggregate")[1]
+    assert "md5(" not in agg_part.split("Project")[0]
+
+
 def test_dedup_similarity_no_interpreted_lambdas_or_cartesian(spark):
     """The dedup/similarity family must stay in codegen joins+aggs: no
     interpreted lambdafunction() expressions, no cartesian products."""
