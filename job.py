@@ -132,6 +132,16 @@ def main(argv: list[str] | None = None) -> None:
              "splits with zero data movement. Validated in "
              "BENCH/SALT_VALIDATION.md: 2.6-6.6x on a cost-skewed "
              "fixture, pure overhead on a uniform one.")
+    ap.add_argument(
+        "--advise-salt", action="store_true",
+        help="before running, probe a sample of the input's scan "
+             "partitions (per-row scrub cost vs bytes; "
+             "functions/skew.py) and log whether --salt-partitions is "
+             "warranted. Advice only — the run proceeds either way.")
+    ap.add_argument(
+        "--advise-salt-sample", type=float, default=None,
+        help="sample fraction for --advise-salt (default: full input; "
+             "use ~0.001-0.01 at corpus scale)")
     ap.add_argument("--make-zip", action="store_true")
     args = ap.parse_args(argv)
 
@@ -169,6 +179,20 @@ def main(argv: list[str] | None = None) -> None:
         clips = spark.read.parquet(args.input)
     else:
         clips = spark.read.table(args.input)  # Iceberg catalog table
+
+    if args.advise_salt:
+        from pii_redaction_pipeline_spark.functions.skew import advise_salt
+        cores = spark.sparkContext.defaultParallelism
+        advice = advise_salt(clips, cores,
+                             sample_fraction=args.advise_salt_sample)
+        print("salt_advice: " + json.dumps(advice))
+        if advice["salt_recommended"] and not args.salt_partitions:
+            import warnings
+            warnings.warn(
+                f"per-partition cost CV² {advice['cost_cv2']} is "
+                f"{advice['ratio']}× the byte CV² — cost skew that scan "
+                f"splits cannot balance. Re-run with --salt-partitions "
+                f"{advice['salt_partitions']} (8×cores).", RuntimeWarning)
 
     cfg = PipelineConfig(with_audio_verify=not args.no_audio_verify,
                          with_ppl=not args.no_ppl,

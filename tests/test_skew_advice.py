@@ -1,0 +1,162 @@
+"""Salt-advice automation (functions/skew.py): the SCALE.md runbook rule
+— salt when per-partition COST variance far exceeds per-partition BYTE
+variance — exercised on a miniature of skew_fixture.py's workload (hot
+rows whose unique vocabulary defeats the fuzzy memo: cost lives in
+content, not bytes, so byte-balanced scan splits cannot see it)."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_redaction_pipeline_spark.functions.skew import (
+    SALT_CORE_MULTIPLE,
+    advise_salt,
+    partition_cost_profile,
+    salt_advice,
+)
+
+REPO = Path(__file__).resolve().parents[1]
+
+# miniature skew_fixture: hot rows carry unique 12-char pseudo-words
+# (fresh Levenshtein sweep per word, no memo reuse); soup rows repeat a
+# tiny cheap vocabulary
+HOT_WORDS_PER_ROW = 40
+N_HOT = 24
+N_NORMAL = 240
+
+
+def _clip_cols():
+    """Clip-table columns beyond (clip_id, transcript) that job.py's
+    manifest/QA sinks require."""
+    return [F.lit(16000).alias("sr_hz"), F.lit(1000).cast("int").alias("dur_ms"),
+            F.lit("wav").alias("codec"), F.lit(None).cast("binary").alias("bytes")]
+
+
+def _skewed_corpus(spark, tmp_path):
+    out = tmp_path / "clips"
+    normal = spark.range(N_NORMAL).select(
+        F.format_string("clip_%06d", F.col("id")).alias("clip_id"),
+        F.lit("the quick brown fox jumps over the lazy dog again and again "
+              "with spark rows and tables").alias("transcript"), *_clip_cols())
+    normal.repartition(4).write.mode("overwrite").parquet(str(out))
+    hot = spark.range(N_HOT).select(
+        F.format_string("hotclip_%06d", F.col("id")).alias("clip_id"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(0, {HOT_WORDS_PER_ROW - 1}), "
+            f"j -> concat('zq', lpad(cast(id as string), 6, '0'), 'x', "
+            f"lpad(cast(j as string), 3, '0'))))").alias("transcript"),
+        *_clip_cols())
+    hot.repartition(1).write.mode("append").parquet(str(out))
+    return spark.read.parquet(str(out))
+
+
+def test_salt_advice_rule_arithmetic(spark):
+    """Pure variance rule on synthetic per-bucket rows: cost skew at
+    uniform bytes → recommend 8×cores; byte-proportional cost (even when
+    both vary a lot) → no salt (scan splits already balance it)."""
+    uniform_bytes = [(b, 1000 if b else 100000, 50000) for b in range(8)]
+    df = spark.createDataFrame(
+        uniform_bytes, "bucket int, elapsed_ms long, n_bytes long")
+    advice = salt_advice(df, cores=16)
+    assert advice["salt_recommended"]
+    assert advice["salt_partitions"] == SALT_CORE_MULTIPLE * 16
+    assert advice["cost_cv2"] > 0.25 and advice["ratio"] > 4
+
+    proportional = [(b, 1000 * (b + 1), 50000 * (b + 1)) for b in range(8)]
+    df2 = spark.createDataFrame(
+        proportional, "bucket int, elapsed_ms long, n_bytes long")
+    advice2 = salt_advice(df2, cores=16)
+    assert not advice2["salt_recommended"]
+    assert advice2["salt_partitions"] is None
+    # same-shaped distributions → CV² ratio ≈ 1, far under the threshold
+    assert advice2["ratio"] < 1.5
+
+    # degenerate: one bucket → no signal, no crash
+    one = spark.createDataFrame([(0, 5, 5)],
+                                "bucket int, elapsed_ms long, n_bytes long")
+    assert not salt_advice(one, cores=16)["salt_recommended"]
+
+
+def test_salt_advice_on_lineage_shape(spark):
+    """ResumableRun.lineage() has no byte column — n_rows is the balance
+    proxy (documented in skew.py). Equal-row buckets with one hot bucket
+    → salt; nothing else about the schema is assumed."""
+    rows = [("r1", b, 100, 90, 0, 80000 if b == 3 else 900, "DONE")
+            for b in range(8)]
+    lineage = spark.createDataFrame(
+        rows, "run_id string, _bucket int, n_rows long, n_kept long, "
+              "n_errors long, elapsed_ms long, status string")
+    advice = salt_advice(lineage, cores=4, bytes_col="n_rows")
+    assert advice["salt_recommended"]
+    assert advice["salt_partitions"] == SALT_CORE_MULTIPLE * 4
+
+
+def test_partition_profile_detects_content_skew(spark, tmp_path):
+    """End-to-end probe on the miniature fixture: the hot file's scan
+    partition dominates elapsed_ms while its bytes stay comparable →
+    advise salt; a uniform corpus of the same shape → don't."""
+    clips = _skewed_corpus(spark, tmp_path)
+    # warm with a DIFFERENT corpus: amortizes worker spawn + core module
+    # init (lexicon/regex compile lands in some partition's first row)
+    # WITHOUT populating the fuzzy memo with the hot vocabulary — a
+    # same-corpus warm-up would flatten the very skew being measured
+    # (the skew_fixture SCALE_WARMUPS=0 trap)
+    warm = spark.range(64).select(
+        F.format_string("warm_%04d", F.col("id")).alias("clip_id"),
+        F.lit("warm worker text rows").alias("transcript")).repartition(8)
+    partition_cost_profile(warm).collect()
+    profile = partition_cost_profile(clips).collect()
+    assert len(profile) >= 3  # hot file + normal files, own partitions
+    by_cost = sorted(profile, key=lambda r: r["elapsed_ms"], reverse=True)
+    hot, rest = by_cost[0], by_cost[1:]
+    # cost concentration: the hot partition is >5× any normal one
+    assert all(hot["elapsed_ms"] > 5 * max(r["elapsed_ms"], 1) for r in rest)
+    # ...at byte parity within ~1 order of magnitude (cost ≠ bytes)
+    assert hot["n_bytes"] < 10 * max(r["n_bytes"] for r in rest)
+
+    advice = advise_salt(clips, cores=4)
+    assert advice["salt_recommended"], advice
+    assert advice["salt_partitions"] == SALT_CORE_MULTIPLE * 4
+
+    uniform = spark.range(N_NORMAL).select(
+        F.format_string("clip_%06d", F.col("id")).alias("clip_id"),
+        F.lit("plain cheap text row for every partition alike")
+        .alias("transcript")).repartition(5)
+    advice_u = advise_salt(uniform, cores=4)
+    assert not advice_u["salt_recommended"], advice_u
+
+
+@pytest.mark.slow
+def test_job_advise_salt_cli(spark, tmp_path):
+    """job.py --advise-salt end-to-end (subprocess): prints the
+    salt_advice JSON line and the 8×cores warning, then completes the
+    run regardless (advice, not a gate)."""
+    corpus = tmp_path / "corpus"
+    clips = _skewed_corpus(spark, corpus)
+    n = clips.count()
+    out = tmp_path / "out"
+    env = {"PYTHONPATH": str(REPO)}
+    import os
+    env.update({k: os.environ[k] for k in
+                ("PATH", "JAVA_HOME", "HOME") if k in os.environ})
+    r = subprocess.run(
+        [sys.executable, str(REPO / "job.py"),
+         "--input", str(corpus / "clips"), "--output", str(out),
+         "--buckets", "4", "--no-audio-verify", "--no-ppl",
+         "--advise-salt"],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO), env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    advice_lines = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith("salt_advice: ")]
+    assert advice_lines, r.stdout[-2000:]
+    advice = json.loads(advice_lines[0].split("salt_advice: ", 1)[1])
+    assert advice["salt_recommended"]
+    assert "--salt-partitions" in r.stderr  # the RuntimeWarning remedy
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["processed_buckets"] == 4
+    results = spark.read.parquet(str(out / "results"))
+    assert results.count() == n
