@@ -647,16 +647,27 @@ def clips_from_documents(spark, sf_dir, with_audio: bool = True,
 def q_pipeline_full(spark, sf_dir):
     """Flagship: the complete detect→scrub→verify→grade pipeline (pandas
     UDF word path + fuzzy layer + quality/langid/grade columns + audio
-    decode-verify) over the clips table."""
+    decode-verify) over the clips table. Since round 5 this row is FULLY
+    oracle-checked: functions/wordpath_sql.py re-expresses the greedy
+    longest-first word-path scan as a recursive-CTE cursor walk and the
+    fuzzy layer as the gated levenshtein join, so every output column —
+    scrubbed_text, exact AND fuzzy counts, ppl, audio columns — is
+    hash-compared against DuckDB."""
     from .pipeline import PipelineConfig, apply_pipeline
 
     clips = clips_from_documents(spark, sf_dir, with_audio=True)
     out = apply_pipeline(clips, PipelineConfig())
     return out.select(
-        "clip_id", "transcript", "scrubbed_text", "pii_count", "n_exact",
-        "n_fuzzy", "verify_pii_count", "qa_status", "keep", "lang",
-        F.round("lang_conf", 6).alias("lang_conf"), "word_cnt",
-        F.round("ppl", 6).alias("ppl"), "decode_ok", "n_samples")
+        "clip_id", "transcript", "scrubbed_text",
+        F.col("pii_count").cast("bigint").alias("pii_count"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_fuzzy").cast("bigint").alias("n_fuzzy"),
+        F.col("verify_pii_count").cast("bigint").alias("verify_pii_count"),
+        "qa_status", "keep", "lang",
+        F.round("lang_conf", 6).alias("lang_conf"),
+        F.col("word_cnt").cast("bigint").alias("word_cnt"),
+        F.round("ppl", 6).alias("ppl"), "decode_ok",
+        F.col("n_samples").cast("bigint").alias("n_samples"))
 
 
 def q_pipeline_grade_cols(spark, sf_dir):
@@ -891,11 +902,18 @@ QUERIES: dict[str, tuple] = {
     "status_pivot": (q_status_pivot, _sql_status_pivot()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
-    "pipeline_full": (q_pipeline_full, None),       # rows-only: fuzzy layer
+    "pipeline_full": (q_pipeline_full, None),       # oracle attached below
     "pipeline_exact_only": (q_pipeline_exact_only, _sql_pipeline_exact_only()),
     "pipeline_grade_cols": (q_pipeline_grade_cols, _sql_pipeline_grade_cols()),
     "wer_scrub_effect": (q_wer_scrub_effect, _sql_wer_scrub_effect()),
 }
+
+
+def _register_pipeline_full_oracle() -> None:
+    from .functions.wordpath_sql import duck_pipeline_full_sql
+
+    QUERIES["pipeline_full"] = (q_pipeline_full,
+                                duck_pipeline_full_sql(ENRICH_SQL))
 
 
 def _register_dedup_similarity() -> None:
@@ -944,4 +962,5 @@ def _register_dedup_similarity() -> None:
     })
 
 
+_register_pipeline_full_oracle()
 _register_dedup_similarity()
