@@ -24,7 +24,7 @@ REPO = Path(__file__).resolve().parents[1]
 # miniature skew_fixture: hot rows carry unique 12-char pseudo-words
 # (fresh Levenshtein sweep per word, no memo reuse); soup rows repeat a
 # tiny cheap vocabulary
-HOT_WORDS_PER_ROW = 40
+HOT_WORDS_PER_ROW = 64  # ~55 ms/row: wide margin over per-worker init cost
 N_HOT = 24
 N_NORMAL = 240
 
