@@ -34,9 +34,9 @@ BENCH/bench-<stamp>.json + BENCH/bench-latest.json; the compact line's
 
 Coverage: EVERY registry query is timed (pinned against the registry by
 tests/test_job_packaging.py::test_bench_covers_whole_registry), plus the
-two materialized headline pipelines and the xxhash64 minhash mode (the
-production hash primitive — its throughput delta vs the oracle-checkable
-md5 mode is part of the record).
+two materialized headline pipelines and the xxhash64 production-hash
+modes (minhash_signatures_xxh, simhash64_pairs_xxh) — their throughput
+delta vs the oracle-checkable md5 modes is part of the record.
 """
 
 from __future__ import annotations
