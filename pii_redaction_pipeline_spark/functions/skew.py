@@ -149,3 +149,46 @@ def advise_salt(clips: DataFrame, cores: int,
     profile = partition_cost_profile(clips, sample_fraction, text_col,
                                      with_fuzzy)
     return salt_advice(profile, cores)
+
+
+def cost_balanced_rewrite(clips: DataFrame, out_path: str,
+                          n_files: int | None = None,
+                          cores: int | None = None,
+                          files_per_core: int = 16) -> int:
+    """The LAYOUT remedy the salt measurements point at
+    (BENCH/SALT_VALIDATION.md round 5): a ONE-TIME offline rewrite that
+    hash-spreads rows uniformly across many small files, so every
+    future scan split carries the same cost MIXTURE and the job runs
+    shuffle-free at the ≥0.8 scaling path — instead of paying the
+    salted exchange (and its 1−1/W remote-fetch asymmetry) on EVERY
+    run.
+
+    Why a plain hash repartition balances COST, not just bytes: after a
+    uniform shuffle on the row key every output file holds an unbiased
+    sample of the corpus, so per-file cost ≈ total_cost / n_files
+    regardless of how cost was distributed in the input (the hot rows
+    that were 4 contiguous files become ~n_hot/n_files rows in EVERY
+    file). The same property that makes the runtime salt work — applied
+    once, amortized over every subsequent run.
+
+    `n_files` defaults to files_per_core × cores — fine enough that a
+    cluster 4× bigger still gets ≥4 waves of splits (the uniform-corpus
+    512-file methodology in BENCH/BASELINE.md). Repartition is on the
+    key COLUMN (hash(col) once inside the exchange) — repartitioning on
+    a precomputed pmod(hash(key), n) expression re-hashes the n bucket
+    values and collides them into fewer partitions (measured round 2:
+    16 salts → 10 non-empty partitions).
+
+    Returns the file count written. At 10^12 rows this is one
+    bandwidth-bound shuffle + write per table lifetime; pair with the
+    advisor — `salt_advice` on a profile of the REWRITTEN table should
+    come back not-recommended (test-pinned).
+    """
+    if n_files is None:
+        if cores is None:
+            cores = clips.sparkSession.sparkContext.defaultParallelism
+        n_files = files_per_core * max(cores, 1)
+    key = "clip_id" if "clip_id" in clips.columns else clips.columns[0]
+    (clips.repartition(n_files, F.col(key))
+     .write.mode("overwrite").parquet(out_path))
+    return n_files
