@@ -57,6 +57,14 @@ SALT = os.environ.get("SCALE_SALT", "0") == "1"
 # SCALE_INPUT overrides the materialized clips path (e.g. a finer-grained
 # file layout emulating production row-group granularity)
 INPUT = os.environ.get("SCALE_INPUT", "")
+# SCALE_WARMUP_INPUT: warm-up visits run the job on THIS path instead of
+# the timed input. Purpose: on unique-vocabulary skew fixtures a
+# same-input warm-up populates the per-worker fuzzy memo and flattens
+# the very cost being measured (the SCALE_WARMUPS=0 trap,
+# BENCH/SALT_VALIDATION.md) — warming on a disjoint-vocabulary corpus
+# still amortizes executor spawn + JIT + Python-worker imports (the
+# ~25-30 s/visit fixed cost) without touching the timed rows' cost.
+WARMUP_INPUT = os.environ.get("SCALE_WARMUP_INPUT", "")
 # SCALE_MAX_PARTITION_BYTES pins spark.sql.files.maxPartitionBytes —
 # production tunes it to ~(table bytes)/(8 × total cores) (pipeline.py);
 # the skew-fixture experiment (skew_fixture.py) pins it to the hot-file
@@ -101,15 +109,15 @@ def run_once(workers: int, clips_path: str) -> float:
     cores = workers * CORES_PER_WORKER
     spark = _cluster_session(workers)
 
-    def job():
-        clips = spark.read.parquet(clips_path)  # fresh plan per run
+    def job(path=clips_path):
+        clips = spark.read.parquet(path)  # fresh plan per run
         out = apply_pipeline(clips, PipelineConfig(
             with_audio_verify=False,
             salt_partitions=cores * 8 if SALT else None))
         out.groupBy("qa_status", "keep").count().collect()
 
     for _ in range(WARMUPS):
-        job()
+        job(WARMUP_INPUT or clips_path)
     t0 = time.time()
     job()
     wall = time.time() - t0
@@ -244,6 +252,7 @@ python scaling_bench.py`.
     # (hand-pooled min-walls across run sets) and must survive re-runs
     out = {"stamp": stamp, "sf": SF_DIR, "replicate": REPLICATE,
            "salt": SALT, "input": INPUT or "materialized",
+           "warmup_input": WARMUP_INPUT or None,
            "levels": results, "pairs": pairs}
     (bench_dir / f"run-{fstamp}.md").write_text(md)
     (bench_dir / f"run-{fstamp}.json").write_text(json.dumps(out, indent=2))
