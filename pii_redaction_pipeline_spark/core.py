@@ -209,15 +209,30 @@ def _fuzzy_lookup(word: str) -> tuple[str, str, int] | None:
 _FUZZY_CACHE: dict[str, tuple[str, str, int] | None] = {}
 
 
-def fuzzy_match(tokens: list[str], norm: list[str], matched: set[int]) -> list[Match]:
+def fuzzy_match(tokens: list[str], norm: list[str], matched: set[int],
+                lookup: dict | None = None) -> list[Match]:
     """Fuzzy layer over words the exact layer left unmatched
-    (reference src/pii_detector.py:243-353)."""
+    (reference src/pii_detector.py:243-353).
+
+    `lookup` (optional) is a PRECOMPUTED vocabulary table
+    {normalized token: (term, category, distance)} — the 10^12-scale
+    path: fuzzy matching runs ONCE over the corpus's distinct
+    vocabulary as a relational job (functions/fuzzy_sql.
+    spark_fuzzy_vocab, oracle-proven identical to _fuzzy_lookup on the
+    corpus domain) and rides to executors as a broadcast dict, so the
+    per-row cost is a hash lookup instead of a Levenshtein sweep —
+    byte-proportional, which kills the hot-vocabulary skew class at
+    the root (BENCH/SALT_VALIDATION.md). A lookup miss means "no
+    fuzzy match" (gated-out tokens are absent from the table by the
+    same blacklist/length gates)."""
     matches: list[Match] = []
     for i, token in enumerate(tokens):
         if i in matched:
             continue
         word = norm[i]
-        if word in _FUZZY_CACHE:
+        if lookup is not None:
+            best = lookup.get(word)
+        elif word in _FUZZY_CACHE:
             best = _FUZZY_CACHE[word]
         else:
             best = _fuzzy_lookup(word)
@@ -251,7 +266,8 @@ def _normalize_cached(token: str) -> str:
 
 
 def detect_words(text: str,
-                 with_fuzzy: bool = True) -> tuple[list[str], list[Match]]:
+                 with_fuzzy: bool = True,
+                 fuzzy_lookup: dict | None = None) -> tuple[list[str], list[Match]]:
     """Two-layer detection over whitespace tokens. Matches are returned in
     positional order (exact then fuzzy, sorted by first word index — the
     reference sorts by start_time, src/pii_detector.py:163-164).
@@ -265,7 +281,7 @@ def detect_words(text: str,
     matched: set[int] = set()
     matches = exact_match(tokens, norm, matched)
     if with_fuzzy:
-        matches.extend(fuzzy_match(tokens, norm, matched))
+        matches.extend(fuzzy_match(tokens, norm, matched, fuzzy_lookup))
     matches.sort(key=lambda m: m.word_indices[0])
     return tokens, matches
 
@@ -547,14 +563,15 @@ def perplexity(text: str) -> float:
 # Full row pipeline (the oracle the Spark job must agree with)
 # --------------------------------------------------------------------------
 
-def scrub_row(text: str | None, with_fuzzy: bool = True) -> dict:
+def scrub_row(text: str | None, with_fuzzy: bool = True,
+              fuzzy_lookup: dict | None = None) -> dict:
     """UDF kernel: detect → redact → regex-scrub → verification rescan for
     one transcript. This exact function runs inside the pandas UDF
     (functions/scrub.py); everything else (quality, langid, grading CASE)
     is Column expressions."""
     if text is None:
         text = ""
-    tokens, matches = detect_words(text, with_fuzzy)
+    tokens, matches = detect_words(text, with_fuzzy, fuzzy_lookup)
     scrubbed = redact_tokens(tokens, matches)
     scrubbed, ext_counts = regex_scrub(scrubbed)
     vt, _vh = verify_counts(scrubbed)

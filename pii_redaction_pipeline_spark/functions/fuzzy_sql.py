@@ -88,6 +88,27 @@ def spark_fuzzy_vocab(docs: DataFrame, spark: SparkSession) -> DataFrame:
                        "confidence")
 
 
+def collect_fuzzy_vocab_map(df: DataFrame, spark: SparkSession,
+                            text_col: str = "text") -> dict:
+    """The vocabulary-broadcast fuzzy table: run spark_fuzzy_vocab over
+    the corpus's DISTINCT normalized vocabulary (one relational job —
+    broadcast candidate dim, JVM levenshtein, window min) and collect
+    {token: (term, category, distance)} for the scrub UDF's closure
+    (core.fuzzy_match `lookup`).
+
+    Size bound: only tokens within Levenshtein ≤ 2 of the 175-term
+    candidate lexicon survive — a vanishing fraction of any vocabulary
+    (the full web-scale distinct vocab itself never collects; only the
+    matched subset does). The per-row fuzzy sweep this replaces is the
+    ONE corpus-content-dependent cost in the pipeline — with the map,
+    per-row cost is byte-proportional and the hot-vocabulary skew
+    class (BENCH/SALT_VALIDATION.md) cannot arise."""
+    docs = df.select(F.col(text_col).alias("text"))
+    rows = spark_fuzzy_vocab(docs, spark)         .select("token", "matched_term", "category", "distance").collect()
+    return {r["token"]: (r["matched_term"], r["category"], int(r["distance"]))
+            for r in rows}
+
+
 def duck_fuzzy_vocab_sql(text_expr: str = "coalesce(text,'')") -> str:
     values = ", ".join(f"('{t}', '{c}', {i})" for t, c, i in CANDIDATES)
     return f"""

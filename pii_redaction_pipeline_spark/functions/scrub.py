@@ -22,16 +22,22 @@ from .. import core
 from ..schema import SCRUB_STRUCT
 
 
-def make_detect_and_scrub(with_fuzzy: bool = True):
+def make_detect_and_scrub(with_fuzzy: bool = True,
+                          fuzzy_map: dict | None = None):
     """Scrub-UDF factory. with_fuzzy=False runs the exact word path +
     regex scrub only — the SQL-mirrorable subset that backs the
     pipeline_exact_only oracle row (queries.py); the flag rides to
-    executors in the UDF closure."""
+    executors in the UDF closure.
+
+    `fuzzy_map` is the precomputed vocabulary-broadcast fuzzy table
+    (see core.fuzzy_match): the dict rides in the UDF closure (one
+    task-broadcast per executor), and per-row fuzzy becomes a hash
+    lookup — the byte-proportional 10^12-scale path."""
     @pandas_udf(SCRUB_STRUCT)
     def _detect_and_scrub(transcript: pd.Series) -> pd.DataFrame:
         out = {k.name: [] for k in SCRUB_STRUCT.fields}
         for text in transcript:
-            r = core.scrub_row(text, with_fuzzy)
+            r = core.scrub_row(text, with_fuzzy, fuzzy_map)
             ext = r["ext_counts"]
             out["scrubbed_text"].append(r["scrubbed_text"])
             out["redactions"].append(r["redactions"])
@@ -49,10 +55,14 @@ def make_detect_and_scrub(with_fuzzy: bool = True):
 detect_and_scrub = make_detect_and_scrub()  # the full two-layer default
 
 
-def with_scrub(df, text_col: str = "transcript", with_fuzzy: bool = True):
+def with_scrub(df, text_col: str = "transcript", with_fuzzy: bool = True,
+               fuzzy_map: dict | None = None):
     """Attach scrub outputs as top-level columns. One UDF call, projected
     into multiple columns (Catalyst collapses the struct access)."""
-    udf = detect_and_scrub if with_fuzzy else make_detect_and_scrub(False)
+    if fuzzy_map is not None and with_fuzzy:
+        udf = make_detect_and_scrub(True, fuzzy_map)
+    else:
+        udf = detect_and_scrub if with_fuzzy else make_detect_and_scrub(False)
     df = df.withColumn("_scrub", udf(F.col(text_col)))
     for name in ["scrubbed_text", "redactions", "n_exact", "n_fuzzy",
                  "n_email", "n_ssn", "n_phone", "n_toxic", "verify_pii_count"]:

@@ -47,6 +47,14 @@ class PipelineConfig:
     # SQL-mirrorable pipeline subset behind the pipeline_exact_only
     # oracle row; production runs keep the default True
     with_fuzzy: bool = True
+    # fuzzy_vocab_broadcast=True precomputes the fuzzy layer ONCE over
+    # the corpus's distinct vocabulary (functions/fuzzy_sql.
+    # collect_fuzzy_vocab_map — one relational job, result broadcast in
+    # the UDF closure) instead of sweeping per row/worker. Identical
+    # output (test-pinned); per-row cost becomes byte-proportional —
+    # the 10^12-scale path, and the root fix for hot-vocabulary skew.
+    # Note: makes apply_pipeline EAGER (one small Spark job up front).
+    fuzzy_vocab_broadcast: bool = False
     salt_partitions: int | None = None  # None → leave partitioning to AQE
     text_col: str = "transcript"
 
@@ -86,7 +94,11 @@ def apply_pipeline(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFram
     df = with_quality(df, cfg.text_col)   # pure Column exprs (codegen)
     df = with_langid(df, cfg.text_col)    # pure Column exprs (codegen)
     df = drop_helper_cols(df)
-    df = with_scrub(df, cfg.text_col, cfg.with_fuzzy)  # the hot-path pandas UDF
+    fmap = None
+    if cfg.with_fuzzy and cfg.fuzzy_vocab_broadcast:
+        from .functions.fuzzy_sql import collect_fuzzy_vocab_map
+        fmap = collect_fuzzy_vocab_map(df, df.sparkSession, cfg.text_col)
+    df = with_scrub(df, cfg.text_col, cfg.with_fuzzy, fmap)  # hot-path pandas UDF
     if audio_on:
         df = with_decode_verify(df)       # only stage that touches `bytes`
     df = with_grade(df)                   # CASE grading; fuses decode_ok

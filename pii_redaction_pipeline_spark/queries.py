@@ -670,6 +670,33 @@ def q_pipeline_full(spark, sf_dir):
         F.col("n_samples").cast("bigint").alias("n_samples"))
 
 
+def q_pipeline_full_vocab(spark, sf_dir):
+    """The flagship pipeline with the VOCABULARY-BROADCAST fuzzy layer
+    (PipelineConfig(fuzzy_vocab_broadcast=True)): fuzzy matching runs
+    once over the distinct corpus vocabulary as a relational job
+    (spark_fuzzy_vocab) and rides into the scrub UDF as a broadcast
+    lookup — identical output to pipeline_full (same word-path DuckDB
+    oracle), byte-proportional per-row cost (the 10^12-scale fuzzy
+    path; see BENCH/SALT_VALIDATION.md for the skew class this
+    retires). Audio off here: this row pins the text path; the audio
+    columns are pinned by pipeline_full."""
+    from .pipeline import PipelineConfig, apply_pipeline
+
+    clips = clips_from_documents(spark, sf_dir, with_audio=False)
+    out = apply_pipeline(clips, PipelineConfig(
+        with_audio_verify=False, with_ppl=False,
+        fuzzy_vocab_broadcast=True))
+    return out.select(
+        "clip_id", "transcript", "scrubbed_text",
+        F.col("pii_count").cast("bigint").alias("pii_count"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_fuzzy").cast("bigint").alias("n_fuzzy"),
+        F.col("verify_pii_count").cast("bigint").alias("verify_pii_count"),
+        "qa_status", "keep", "lang",
+        F.round("lang_conf", 6).alias("lang_conf"),
+        F.col("word_cnt").cast("bigint").alias("word_cnt"))
+
+
 def q_pipeline_grade_cols(spark, sf_dir):
     """The FLAGSHIP pipeline's SQL-expressible grading columns, hash-
     checked by the driver: runs the real apply_pipeline (salting, fused
@@ -912,8 +939,16 @@ QUERIES: dict[str, tuple] = {
 def _register_pipeline_full_oracle() -> None:
     from .functions.wordpath_sql import duck_pipeline_full_sql
 
-    QUERIES["pipeline_full"] = (q_pipeline_full,
-                                duck_pipeline_full_sql(ENRICH_SQL))
+    full_sql = duck_pipeline_full_sql(ENRICH_SQL)
+    QUERIES["pipeline_full"] = (q_pipeline_full, full_sql)
+    # the vocab-broadcast variant shares the word-path twin minus the
+    # ppl/audio columns (text-only row)
+    vocab_cols = ("clip_id, transcript, scrubbed_text, pii_count, "
+                  "n_exact, n_fuzzy, verify_pii_count, qa_status, keep, "
+                  "lang, lang_conf, word_cnt")
+    QUERIES["pipeline_full_vocab"] = (
+        q_pipeline_full_vocab,
+        f"SELECT {vocab_cols} FROM ({full_sql})")
 
 
 def _register_dedup_similarity() -> None:

@@ -196,3 +196,34 @@ def test_bytes_pruned_when_audio_off(spark):
         out = out.drop("bytes")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "bytes" not in plan.split("ReadSchema")[-1][:400]
+
+
+def test_fuzzy_vocab_broadcast_equals_per_row(spark):
+    """The 10^12-scale fuzzy path (fuzzy_vocab_broadcast=True: one
+    relational vocabulary job + broadcast lookup in the scrub UDF) must
+    produce EXACTLY the per-row sweep's output on every column — the
+    enriched corpus includes the case-8 typo clause ('huston',
+    'febuary', 'phenix'), so the fuzzy layer is discriminating."""
+    from pii_redaction_pipeline_spark.pipeline import (
+        PipelineConfig,
+        apply_pipeline,
+    )
+    from pii_redaction_pipeline_spark.queries import clips_from_documents
+
+    clips = clips_from_documents(spark, "/root/testdata/sf0.001",
+                                 with_audio=False)
+    cols = ["clip_id", "scrubbed_text", "pii_count", "n_exact", "n_fuzzy",
+            "verify_pii_count", "qa_status", "keep"]
+    base = {r["clip_id"]: tuple(r[c] for c in cols)
+            for r in apply_pipeline(
+                clips, PipelineConfig(with_audio_verify=False,
+                                      with_ppl=False)).select(cols).collect()}
+    vocab = {r["clip_id"]: tuple(r[c] for c in cols)
+             for r in apply_pipeline(
+                 clips, PipelineConfig(with_audio_verify=False,
+                                       with_ppl=False,
+                                       fuzzy_vocab_broadcast=True))
+             .select(cols).collect()}
+    assert base == vocab
+    # the corpus really exercised the fuzzy layer
+    assert any(v[4] > 0 for v in base.values())  # n_fuzzy column
