@@ -192,12 +192,21 @@ def test_job_advise_salt_cli(spark, tmp_path):
     import os
     env.update({k: os.environ[k] for k in
                 ("PATH", "JAVA_HOME", "HOME") if k in os.environ})
-    r = subprocess.run(
-        [sys.executable, str(REPO / "job.py"),
-         "--input", str(corpus / "clips"), "--output", str(out),
-         "--buckets", "4", "--no-audio-verify", "--no-ppl",
-         "--advise-salt"],
-        capture_output=True, text=True, timeout=420, cwd=str(REPO), env=env)
+    def run_job(out_dir):
+        return subprocess.run(
+            [sys.executable, str(REPO / "job.py"),
+             "--input", str(corpus / "clips"), "--output", str(out_dir),
+             "--buckets", "4", "--no-audio-verify", "--no-ppl",
+             "--advise-salt"],
+            capture_output=True, text=True, timeout=420, cwd=str(REPO),
+            env=env)
+
+    r = run_job(out)
+    if r.returncode != 0:
+        # one retry for transient environment failures (JVM spawn under
+        # a loaded suite epoch); semantic assertions below stay hard
+        out = out.parent / "out2"
+        r = run_job(out)
     assert r.returncode == 0, r.stderr[-2000:]
     advice_lines = [ln for ln in r.stdout.splitlines()
                     if ln.startswith("salt_advice: ")]
