@@ -17,10 +17,10 @@ walls 4-59× off the re-measured values with no way to tell):
     its nominal wall on an idle host is recorded next to the measured
     walls, so a contended epoch is self-evident in the record
     (canary >> nominal ⟹ don't trust the epoch's absolute numbers).
-  - Sub-8s queries get min-of-3 (2 warm-ups under 5s, 1 above — a
-    boundary query is never one bad run away from a misleading min);
-    ≥8s queries get 1 warm-up + min-of-2 (cold costs are amortized by
-    the long wall, and extra runs cost real minutes).
+  - Sub-8s queries get 2 warm-ups + min-of-3 (a boundary query is
+    never one bad run away from a misleading min); ≥8s queries get
+    1 warm-up + min-of-2 (cold costs are amortized by the long wall,
+    and extra runs cost real minutes).
 
 Record layout (round-5 fix): the driver keeps only a 2,000-char TAIL of
 stdout, and round 4's single all-inclusive JSON line grew past that (raw
@@ -56,8 +56,8 @@ AUDIO_ROWS = int(os.environ.get("BENCH_AUDIO_ROWS", "4000"))
 # replicate documents so the pipeline measurement is sustained throughput,
 # not fixed Spark overhead (5k docs × 20 = 100k clips by default)
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "20"))
-SLOW_CUTOFF_S = 5.0    # below: 2 warm-ups (cold costs dominate short walls)
-MIN3_CUTOFF_S = 8.0    # below: min-of-3 (boundary queries get a full vote)
+MIN3_CUTOFF_S = 8.0    # below: 2 warm-ups + min-of-3 (cold costs
+                       # dominate short walls); above: 1 warm-up + min-of-2
 SUMMARY_MAX_CHARS = 1900  # driver keeps a 2,000-char stdout tail
 # canary nominal walls on an idle host (local[32], this sandbox) — the
 # yardstick a reader compares the recorded canary walls against
@@ -114,19 +114,17 @@ def timed(fn) -> float:
 
 
 def bench_runs(run) -> list[float]:
-    """Warm-ups + timed runs, adaptive to the query's wall: sub-5s
-    queries get 2 warm-ups + 3 timed runs (JIT/codegen/regex-compile and
-    Python-worker spawn dominate short walls); 5-8s queries get 1
-    warm-up + 3 timed runs (round-5: boundary queries were one bad run
-    from a misleading min under the old 2-run rule); ≥8s queries get 1
-    warm-up + 2 timed runs (cold costs are a small fraction, and extra
-    runs cost real minutes). Returns ALL timed walls; callers take
-    min()."""
+    """Warm-ups + timed runs, adaptive to the query's wall: sub-8s
+    queries get 2 warm-ups + 3 timed runs (JIT/codegen/regex-compile
+    and Python-worker spawn dominate short walls; round-6 extended the
+    second warm-up to the 5-8s band — r5's wer_scrub_effect raw walls
+    [6.38, 5.32, 3.70] showed the first timed run still paying ~70%
+    warm-up with only the probe warm-up); ≥8s queries get 1 warm-up +
+    2 timed runs (cold costs are a small fraction, and extra runs cost
+    real minutes). Returns ALL timed walls; callers take min()."""
     w1 = timed(run)  # warm-up 1 (also the slow/fast probe)
-    if w1 < SLOW_CUTOFF_S:
-        run()  # warm-up 2
-        return [timed(run) for _ in range(3)]
     if w1 < MIN3_CUTOFF_S:
+        run()  # warm-up 2
         return [timed(run) for _ in range(3)]
     return [timed(run) for _ in range(2)]
 

@@ -139,16 +139,46 @@ def main(argv: list[str] | None = None) -> None:
              "functions/skew.py) and log whether --salt-partitions is "
              "warranted. Advice only — the run proceeds either way.")
     ap.add_argument(
-        "--advise-salt-sample", type=float, default=None,
-        help="sample fraction for --advise-salt (default: full input; "
-             "use ~0.001-0.01 at corpus scale)")
+        "--advise-salt-sample", type=float, default=0.01,
+        help="sample fraction for --advise-salt (default 0.01 — the "
+             "probe runs a per-row scrub-cost UDF, so probing the FULL "
+             "input would roughly double job cost at corpus scale; "
+             "pass 1.0 to probe everything on small inputs)")
+    ap.add_argument(
+        "--fuzzy-vocab-broadcast", action="store_true",
+        help="precompute the fuzzy layer ONCE over the corpus's "
+             "distinct vocabulary (one relational job: broadcast "
+             "candidate dim + JVM levenshtein) and broadcast the "
+             "result; per-row fuzzy becomes a dict hit, making per-row "
+             "cost byte-proportional — the 10^12-scale path and the "
+             "root fix for hot-vocabulary cost skew "
+             "(BENCH/SALT_VALIDATION.md). Output is identical "
+             "(test-pinned + oracle row pipeline_full_vocab).")
+    ap.add_argument(
+        "--rewrite-layout", metavar="OUT_PATH", default=None,
+        help="ONE-TIME offline layout remedy for cost-skewed inputs "
+             "(functions/skew.cost_balanced_rewrite): uniformly "
+             "hash-spread rows across many small files so every future "
+             "scan split carries the same cost mixture, then exit "
+             "(no pipeline run). Point later runs' --input at "
+             "OUT_PATH. Measured over the 0.8 scaling bar shuffle-free "
+             "where runtime salting ceilings at ~0.65 "
+             "(BENCH/SALT_VALIDATION.md).")
+    ap.add_argument(
+        "--rewrite-files", type=int, default=None,
+        help="file count for --rewrite-layout (default: 16 x cores — "
+             "fine enough that a 4x bigger cluster still gets >=4 "
+             "split waves)")
     ap.add_argument("--make-zip", action="store_true")
     args = ap.parse_args(argv)
 
     if args.make_zip:
         print(make_zip())
         return
-    if not args.input or not args.output:
+    if args.rewrite_layout:
+        if not args.input:
+            ap.error("--rewrite-layout requires --input")
+    elif not args.input or not args.output:
         ap.error("--input and --output are required")
 
     ensure_fresh_py_files()  # cheap refusal before any Spark work
@@ -180,6 +210,17 @@ def main(argv: list[str] | None = None) -> None:
     else:
         clips = spark.read.table(args.input)  # Iceberg catalog table
 
+    if args.rewrite_layout:
+        from pii_redaction_pipeline_spark.functions.skew import (
+            cost_balanced_rewrite,
+        )
+        n_files = cost_balanced_rewrite(clips, args.rewrite_layout,
+                                        n_files=args.rewrite_files)
+        print(json.dumps({"rewrite_layout": args.rewrite_layout,
+                          "n_files": n_files}))
+        spark.stop()
+        return
+
     if args.advise_salt:
         from pii_redaction_pipeline_spark.functions.skew import advise_salt
         cores = spark.sparkContext.defaultParallelism
@@ -191,11 +232,20 @@ def main(argv: list[str] | None = None) -> None:
             warnings.warn(
                 f"per-partition cost CV² {advice['cost_cv2']} is "
                 f"{advice['ratio']}× the byte CV² — cost skew that scan "
-                f"splits cannot balance. Re-run with --salt-partitions "
-                f"{advice['salt_partitions']} (8×cores).", RuntimeWarning)
+                f"splits cannot balance. Remedies, durable first: "
+                f"(1) one-time layout rewrite: job.py --input "
+                f"{args.input} --rewrite-layout OUT_PATH, then point "
+                f"runs at OUT_PATH (shuffle-free, measured ≥0.8 "
+                f"scaling); (2) if the skew is fuzzy-vocabulary cost, "
+                f"--fuzzy-vocab-broadcast removes the class at the "
+                f"root; (3) per-run salt: --salt-partitions "
+                f"{advice['salt_partitions']} (8×cores — rescues "
+                f"stragglers but the exchange ceilings scaling at "
+                f"~0.65; see BENCH/SALT_VALIDATION.md).", RuntimeWarning)
 
     cfg = PipelineConfig(with_audio_verify=not args.no_audio_verify,
                          with_ppl=not args.no_ppl,
+                         fuzzy_vocab_broadcast=args.fuzzy_vocab_broadcast,
                          salt_partitions=args.salt_partitions)
 
     def process(df):

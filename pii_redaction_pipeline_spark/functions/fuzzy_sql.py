@@ -102,9 +102,26 @@ def collect_fuzzy_vocab_map(df: DataFrame, spark: SparkSession,
     matched subset does). The per-row fuzzy sweep this replaces is the
     ONE corpus-content-dependent cost in the pipeline — with the map,
     per-row cost is byte-proportional and the hot-vocabulary skew
-    class (BENCH/SALT_VALIDATION.md) cannot arise."""
+    class (BENCH/SALT_VALIDATION.md) cannot arise.
+
+    Snapshot semantics: the vocabulary is collected in ITS OWN eager
+    job before the scrub job runs. The map is correct for the rows that
+    job saw — if the source gains rows between the two jobs (appended
+    files, an unseeded sample, a re-read of non-deterministic input),
+    new tokens are silently treated as 'no fuzzy match'. Run it against
+    an immutable snapshot (Iceberg table version / committed parquet);
+    streaming inputs are refused outright because every microbatch
+    would need its own vocabulary pass."""
+    if df.isStreaming:
+        raise ValueError(
+            "collect_fuzzy_vocab_map requires a batch DataFrame: the "
+            "vocabulary snapshot is collected once up front, which a "
+            "streaming source cannot satisfy (each microbatch brings "
+            "new vocabulary). Use the per-row fuzzy path in streams.")
     docs = df.select(F.col(text_col).alias("text"))
-    rows = spark_fuzzy_vocab(docs, spark)         .select("token", "matched_term", "category", "distance").collect()
+    rows = (spark_fuzzy_vocab(docs, spark)
+            .select("token", "matched_term", "category", "distance")
+            .collect())
     return {r["token"]: (r["matched_term"], r["category"], int(r["distance"]))
             for r in rows}
 

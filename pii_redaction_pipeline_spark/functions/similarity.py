@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.broadcast import Broadcast
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -302,15 +303,28 @@ def _rounded_centroid_dists(V: np.ndarray, C: np.ndarray) -> np.ndarray:
     return np.round(np.sqrt(np.maximum(d2, 0.0)), 6)
 
 
-def _cell_assign_udf(C: np.ndarray, c_ids: np.ndarray):
+def _bc_centroids(df: DataFrame, C: np.ndarray,
+                  c_ids: np.ndarray) -> Broadcast:
+    """Ship the centroid matrix via `sc.broadcast` (round-5 verdict
+    item 4): a closure-pickled K×D float64 matrix is re-serialized with
+    EVERY task (at production IVF scale K ≈ √N ≈ 65k cells × 128 dims
+    ≈ 66 MB per task pickle); a broadcast ships once per executor,
+    torrent-distributed. One handle carries (C, c_ids) so the paired
+    arrays can't drift apart."""
+    return df.sparkSession.sparkContext.broadcast((C, c_ids))
+
+
+def _cell_assign_udf(bc: Broadcast | tuple):
     """Vectorized nearest-centroid assignment: one numpy distance matrix
-    per Arrow batch, centroids in the closure (K×D — metadata-scale).
-    Rounded to 6 before argmin so Spark and the DuckDB oracle agree on
-    the assignment bit-for-bit; ties break to the lowest centroid id
-    (argmin = first index, c_ids ascending). Distances via the
-    bounded-memory matmul kernel (_rounded_centroid_dists)."""
+    per Arrow batch; `bc` is the _bc_centroids handle (a raw (C, c_ids)
+    tuple also works, for kernel-level tests). Rounded to 6 before
+    argmin so Spark and the DuckDB oracle agree on the assignment
+    bit-for-bit; ties break to the lowest centroid id (argmin = first
+    index, c_ids ascending). Distances via the bounded-memory matmul
+    kernel (_rounded_centroid_dists)."""
     @F.pandas_udf("int")
     def cell(embs: pd.Series) -> pd.Series:
+        C, c_ids = bc.value if isinstance(bc, Broadcast) else bc
         if len(embs) == 0:
             return pd.Series([], dtype="int32")
         d = _rounded_centroid_dists(_stack(embs), C)
@@ -346,7 +360,9 @@ def train_ivf_centroids(emb: DataFrame, k: int = N_CENTROIDS,
     C = np.array([r["embedding"] for r in rows], dtype=np.float64)
     c_ids = np.arange(len(C), dtype=np.int64)
     for _ in range(n_iters):
-        cell = _cell_assign_udf(C, c_ids)
+        # fresh broadcast per iteration (C changed); old ones are
+        # GC-collected driver-side and the matrices are metadata-scale
+        cell = _cell_assign_udf(_bc_centroids(train, C, c_ids))
         assigned = train.withColumn("_cell", cell("embedding"))
         # ONE map-side-combining hash aggregate per iteration (round-5:
         # was two separate collect-aggregations over the same posexploded
@@ -410,8 +426,9 @@ def spark_cosine_topk_ivf_centroid(emb: DataFrame, n_probes: int = 8,
         c_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
         C = np.array([r["embedding"] for r in rows], dtype=np.float64)
 
+    bc = _bc_centroids(emb, C, c_ids)
     base = emb.withColumn("_cell",
-                          _cell_assign_udf(C, c_ids)(F.col("embedding")))
+                          _cell_assign_udf(bc)(F.col("embedding")))
     probes = (base.where(F.col("vec_id") < n_probes)
               .select(F.col("vec_id").alias("q_id"),
                       F.col("embedding").alias("q_emb"),
@@ -453,18 +470,21 @@ def spark_cosine_topk_ivf_centroid_multiprobe(
         c_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
         C = np.array([r["embedding"] for r in rows], dtype=np.float64)
 
+    bc = _bc_centroids(emb, C, c_ids)
+
     @F.pandas_udf("array<int>")
     def near_cells(embs: pd.Series) -> pd.Series:
+        bC, bc_ids = bc.value  # same broadcast as the assignment UDF
         if len(embs) == 0:
             return pd.Series([], dtype="object")
-        d = _rounded_centroid_dists(_stack(embs), C)
+        d = _rounded_centroid_dists(_stack(embs), bC)
         # full (dist, c_id) order; lexsort's LAST key is primary
-        order = np.lexsort((np.broadcast_to(c_ids, d.shape), d), axis=1)
-        top = c_ids[order[:, :nprobe]].astype(np.int32)
+        order = np.lexsort((np.broadcast_to(bc_ids, d.shape), d), axis=1)
+        top = bc_ids[order[:, :nprobe]].astype(np.int32)
         return pd.Series(list(top))
 
     base = emb.withColumn("_cell",
-                          _cell_assign_udf(C, c_ids)(F.col("embedding")))
+                          _cell_assign_udf(bc)(F.col("embedding")))
     probes = (base.where(F.col("vec_id") < n_probes)
               .select(F.col("vec_id").alias("q_id"),
                       F.col("embedding").alias("q_emb"),

@@ -121,10 +121,16 @@ def salt_advice(per_bucket: DataFrame, cores: int,
         F.var_pop(bytes_col).alias("b_var")).collect()[0]
     n = stats["n"] or 0
     if n < 2 or not stats["e_mean"]:
+        # two distinct no-signal cases (round-5 advice): too few buckets
+        # vs a probe so tiny every per-bucket elapsed rounded to 0 ms —
+        # the remedies differ (more buckets vs a bigger sample)
+        note = ("fewer than 2 buckets observed — no skew signal"
+                if n < 2 else
+                "all per-bucket elapsed_ms are 0 — probe too small to "
+                "carry a cost signal; raise the sample fraction")
         return {"salt_recommended": False, "salt_partitions": None,
                 "cost_cv2": 0.0, "bytes_cv2": 0.0, "ratio": 0.0,
-                "n_buckets": int(n),
-                "note": "fewer than 2 buckets observed — no skew signal"}
+                "n_buckets": int(n), "note": note}
     cost_cv2 = (stats["e_var"] or 0.0) / (stats["e_mean"] ** 2)
     bytes_cv2 = ((stats["b_var"] or 0.0) / (stats["b_mean"] ** 2)
                  if stats["b_mean"] else 0.0)

@@ -36,6 +36,16 @@ Everything downstream of the word scrub (regex extension passes,
 verification rescan, quality / langid / grade / keep, char-bigram
 perplexity, deterministic audio columns) is emitted from the same
 constants as the Spark side, mirroring _sql_pipeline_exact_only.
+
+Oracle-side encoding constraint (same as the wer oracle's): the fuzzy
+layer's DuckDB levenshtein() is BYTE-based while core/Spark levenshtein
+is CODEPOINT-based — they agree exactly when tokens and candidate terms
+are single-byte (ASCII) text. The candidate lexicon is ASCII by
+construction and the driver corpora are printable ASCII; a non-ASCII
+corpus would diverge on the ORACLE side only (the Spark engine itself
+is codepoint-correct). If the testdata ever grows non-ASCII tokens,
+encode both join sides to one codepoint per word first, as
+_sql_wer_scrub_effect does.
 """
 
 from __future__ import annotations

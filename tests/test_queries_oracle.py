@@ -45,9 +45,7 @@ def normalize(rows, columns):
     return sorted(out)
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(name, spark, duck):
-    fn, sql = QUERIES[name]
+def _compare(name, fn, sql, spark, duck):
     sdf = fn(spark, SF_DIR)
     srows = sdf.collect()
     scols = sdf.columns
@@ -64,3 +62,44 @@ def test_query_matches_oracle(name, spark, duck):
     mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
     assert not mism, f"{name}: {len(mism)} value mismatches, first: " \
                      f"{a[mism[0]]!r} vs {b[mism[0]]!r}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    fn, sql = QUERIES[name]
+    _compare(name, fn, sql, spark, duck)
+
+
+def test_simhash_pairs_16bit_matches_oracle(spark, duck):
+    """The 16-bit simhash pairs operator was retired from the production
+    registry in round 6 (Θ(n²) banding at corpus scale) but stays as the
+    teaching/oracle size — this test preserves the DuckDB hash check it
+    had as a registry row."""
+    from pii_redaction_pipeline_spark.functions.dedup import (
+        duck_simhash_pairs_sql,
+        spark_simhash_pairs,
+    )
+
+    def fn(spark_, sf_dir):
+        docs = spark_.read.parquet(f"{sf_dir}/documents.parquet")
+        return spark_simhash_pairs(docs, warn_quadratic=False)
+
+    _compare("simhash_pairs_16bit", fn, duck_simhash_pairs_sql(), spark, duck)
+
+
+def test_pipeline_exact_sql_equals_udf_path(spark):
+    """Three-engine agreement, engine pair 1-2: the pure-Spark-SQL exact
+    pipeline (pipeline_exact_sql, zero Python) must produce EXACTLY the
+    pandas-UDF path's rows (pipeline_exact_only). Pair 1-3 and 2-3
+    (each vs DuckDB) are the shared oracle row in the registry."""
+    from pii_redaction_pipeline_spark.queries import (
+        q_pipeline_exact_only,
+        q_pipeline_exact_sql,
+    )
+
+    a = q_pipeline_exact_only(spark, SF_DIR)
+    b = q_pipeline_exact_sql(spark, SF_DIR)
+    assert a.columns == b.columns
+    ra = normalize([[r[c] for c in a.columns] for r in a.collect()], a.columns)
+    rb = normalize([[r[c] for c in b.columns] for r in b.collect()], b.columns)
+    assert ra == rb

@@ -227,3 +227,46 @@ def test_fuzzy_vocab_broadcast_equals_per_row(spark):
     assert base == vocab
     # the corpus really exercised the fuzzy layer
     assert any(v[4] > 0 for v in base.values())  # n_fuzzy column
+
+
+def test_fuzzy_map_and_centroids_ship_via_broadcast(spark):
+    """Round-5 verdict item 4: large reference data (the fuzzy vocab
+    map, the IVF centroid matrix) must ride to executors via
+    `sc.broadcast` — shipped once per executor — not in the pickled UDF
+    closure, which is re-serialized with EVERY task. Pinned by closure
+    size: the serialized UDF function must stay O(1) in the size of the
+    reference data."""
+    import numpy as np
+    from pyspark.cloudpickle import dumps
+
+    from pii_redaction_pipeline_spark.functions.scrub import (
+        make_detect_and_scrub,
+        with_scrub,
+    )
+    from pii_redaction_pipeline_spark.functions.similarity import (
+        _bc_centroids,
+        _cell_assign_udf,
+    )
+
+    # adversarially large map: every token fuzzy-matches something
+    big_map = {f"tok{i:06d}": ("houston", "city", 1) for i in range(50_000)}
+    bc = spark.sparkContext.broadcast(big_map)
+    sz_bc = len(dumps(make_detect_and_scrub(True, bc).func))
+    sz_dict = len(dumps(make_detect_and_scrub(True, big_map).func))
+    assert sz_dict > 500_000        # the closure-pickle trap, for scale
+    assert sz_bc < 50_000, sz_bc    # broadcast handle: O(1) closure
+
+    # with_scrub wraps a plain dict transparently (callers don't change)
+    df = spark.createDataFrame([("a", "we met in huston",)],
+                               "clip_id string, transcript string")
+    out = with_scrub(df, fuzzy_map=dict(big_map, **{
+        "huston": ("houston", "city", 1)}))
+    row = out.select("scrubbed_text", "n_fuzzy").collect()[0]
+    assert row["n_fuzzy"] == 1 and "[CITY]" in row["scrubbed_text"]
+
+    # IVF centroid matrix: production-scale K x D must not ride per-task
+    C = np.zeros((4096, 64), dtype=np.float64)
+    c_ids = np.arange(4096, dtype=np.int64)
+    sz_cell = len(dumps(_cell_assign_udf(
+        _bc_centroids(df, C, c_ids)).func))
+    assert sz_cell < 50_000, sz_cell  # 4096x64 float64 alone is 2 MB
