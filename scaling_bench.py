@@ -71,6 +71,17 @@ WARMUP_INPUT = os.environ.get("SCALE_WARMUP_INPUT", "")
 # size so every file is its own scan split and the salt-vs-scan-balance
 # comparison is not confounded by file packing
 MAX_PARTITION_BYTES = os.environ.get("SCALE_MAX_PARTITION_BYTES", "")
+# SCALE_FUZZY_BROADCAST=1 runs the pipeline in vocabulary-broadcast
+# fuzzy mode (PipelineConfig.fuzzy_vocab_broadcast): the fuzzy layer is
+# precomputed ONCE over the corpus's distinct vocabulary in a JVM-side
+# relational job (hash-shuffled distinct → broadcast candidate dim →
+# levenshtein join) and the per-row scrub becomes a broadcast-dict hit.
+# This removes the one corpus-content-dependent per-row cost, so the
+# hot-vocabulary skew class measured in BENCH/SALT_VALIDATION.md cannot
+# arise: per-row cost is byte-proportional and plain byte-balanced scan
+# splits track it — no salt, no layout rewrite needed. The vocab job's
+# wall is INSIDE the timed run (it is part of the job).
+FUZZY_BROADCAST = os.environ.get("SCALE_FUZZY_BROADCAST", "0") == "1"
 
 
 def _cluster_session(workers: int):
@@ -113,6 +124,7 @@ def run_once(workers: int, clips_path: str) -> float:
         clips = spark.read.parquet(path)  # fresh plan per run
         out = apply_pipeline(clips, PipelineConfig(
             with_audio_verify=False,
+            fuzzy_vocab_broadcast=FUZZY_BROADCAST,
             salt_partitions=cores * 8 if SALT else None))
         out.groupBy("qa_status", "keep").count().collect()
 
@@ -194,6 +206,9 @@ def main() -> None:
     fstamp = datetime.now(timezone.utc).strftime("%Y%m%d-%H%M%S")
     _job_head = ("salted repartition (8× total cores) → " if SALT
                  else "scan-split-balanced input (no wide exchange) → ")
+    if FUZZY_BROADCAST:
+        _job_head = ("vocabulary-broadcast fuzzy (one JVM vocab job, "
+                     "per-row fuzzy = broadcast dict hit) → " + _job_head)
     md = f"""# BENCH — scaling evidence (N vs 4N executors, separate executor JVMs)
 
 Generated {stamp} by `python scaling_bench.py` on `{SF_DIR}`
@@ -251,7 +266,8 @@ python scaling_bench.py`.
     # one timestamped file pair per run — BENCH/BASELINE.md is curated
     # (hand-pooled min-walls across run sets) and must survive re-runs
     out = {"stamp": stamp, "sf": SF_DIR, "replicate": REPLICATE,
-           "salt": SALT, "input": INPUT or "materialized",
+           "salt": SALT, "fuzzy_broadcast": FUZZY_BROADCAST,
+           "input": INPUT or "materialized",
            "warmup_input": WARMUP_INPUT or None,
            "levels": results, "pairs": pairs}
     (bench_dir / f"run-{fstamp}.md").write_text(md)

@@ -146,3 +146,28 @@ def test_salted_repartition_balances_heavy_tail(spark):
     a_sizes = [r["b"] for r in after]
     assert len(a_sizes) == 16
     assert max(a_sizes) / (sum(a_sizes) / len(a_sizes)) < 1.6
+
+
+def test_fuzzy_vocab_join_is_hash_not_nested_loop(spark):
+    """The vocabulary fuzzy matcher's length gate |len(token)−len(term)|≤2
+    expressed as a theta join is a BroadcastNestedLoopJoin — |vocab|×175
+    condition evaluations with the un-thresholded levenshtein re-inlined
+    into every pushed-down conjunct (measured 143 s over a 4M-token
+    vocabulary at local[32]). The production shape explodes each
+    candidate over its 5 admissible token lengths and equi-joins on
+    length(token): a broadcast HASH join producing the identical pair
+    set (~20× less work). This pin keeps the theta join from coming
+    back."""
+    from pii_redaction_pipeline_spark.functions.fuzzy_sql import (
+        spark_fuzzy_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [("the febuary meeting in huston",), ("phenix soup",)], ["text"])
+    out = spark_fuzzy_vocab(docs, spark)
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # thresholded levenshtein: banded DP with early exit, not full DP
+    # (the physical plan prints the threshold as Some(2))
+    assert "levenshtein(token" in plan and "Some(2))" in plan
