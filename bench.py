@@ -243,6 +243,14 @@ def main() -> None:
         timings[name] = min(raw[name])
 
     canary_end = canary_walls(spark, clips_path)
+    # one derived number so a contended epoch is self-evident without
+    # mental math: worst canary wall over its idle-host nominal, across
+    # both probes and both ends. ~1.0 = clean; >2 = don't trust the
+    # epoch's absolute walls (the 2026-08-17 afternoon VM phase measured
+    # 2-5 here while per-query walls spiked 2-4x in moving spots)
+    canary_ratio = round(max(
+        c[k] / CANARY_NOMINAL[k]
+        for c in (canary_start, canary_end) for k in CANARY_NOMINAL), 2)
 
     clips_per_sec = round(n_clips / t_pipeline, 1)
     stamp = time.strftime("%Y%m%d-%H%M%S")
@@ -254,7 +262,8 @@ def main() -> None:
         "queries": timings,
         "raw": raw,
         "canary": {"start": canary_start, "end": canary_end,
-                   "nominal_idle": CANARY_NOMINAL},
+                   "nominal_idle": CANARY_NOMINAL,
+                   "ratio_vs_nominal": canary_ratio},
         "sf": SF_DIR,
         "n_clips": n_clips,
         "clips_per_sec": clips_per_sec,

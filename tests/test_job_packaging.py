@@ -162,7 +162,8 @@ def test_bench_compact_summary_fits_driver_tail():
         "raw": {n: [123.456] * 3 for n in names},  # must NOT leak through
         "canary": {"start": {"jvm_sum": 0.345, "parquet_scan": 0.321},
                    "end": {"jvm_sum": 0.345, "parquet_scan": 0.321},
-                   "nominal_idle": bench.CANARY_NOMINAL},
+                   "nominal_idle": bench.CANARY_NOMINAL,
+                   "ratio_vs_nominal": 12.34},
         "sf": "/root/testdata/sf0.1",
         "n_clips": 100000,
         "clips_per_sec": 69252.1,
