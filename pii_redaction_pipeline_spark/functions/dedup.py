@@ -32,7 +32,7 @@ joins only the candidate pairs back to shingle sets (semi-join shaped).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .blocks import adopt, own, release, unpersist_checkpoint
@@ -65,30 +65,35 @@ def shingle_rows(docs: DataFrame, n_words: int = SHINGLE_WORDS) -> DataFrame:
     than n_words tokens yields one shingle of whatever tokens it has
     ('' for an empty doc).
 
-    Shape: posexplode tokens → lead() window → concat_ws (null-skipping).
-    All whole-stage codegen with ONE exchange (hash by doc_id for the
-    window; the downstream per-doc aggregates reuse that partitioning, so
-    no second shuffle). The round-1 formulation built shingle arrays with
-    an interpreted transform(sequence, slice, concat_ws) lambda — Catalyst
-    re-inlined the token split into the lambda (6 split() copies in the
-    physical plan) and evaluated it per window element: 4.1s vs 0.7s for
-    260k shingles at sf0.1."""
-    toks = docs.select(
-        "doc_id",
-        F.expr(f"CASE WHEN size({_SPARK_TOKS}) = 0 THEN array('') "
-               f"ELSE {_SPARK_TOKS} END").alias("tk"))
-    pe = toks.select("doc_id", F.size("tk").alias("n"),
-                     F.posexplode("tk").alias("pos", "w"))
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    led = pe.select(
-        "doc_id", "n", "pos", "w",
-        *[F.lead("w", i).over(win).alias(f"w{i}")
-          for i in range(1, n_words)])
-    keep = ((F.col("pos") <= F.col("n") - n_words)
-            | ((F.col("n") < n_words) & (F.col("pos") == 0)))
-    parts = ["w"] + [f"w{i}" for i in range(1, n_words)]
-    return led.where(keep).select(
-        "doc_id", F.concat_ws(" ", *parts).alias("s"))
+    Round-7 shape: every n-word window is extracted in ONE codegen
+    projection with a lookahead-capture regex — at each token start,
+    `(?=(\\S+(?:\\s+\\S+){n-1}))\\S+\\s+` captures that token plus the
+    next n−1 and consumes exactly one token, so `regexp_extract_all(...,
+    1)` returns all size−n+1 windows (match attempts that begin inside a
+    token or past token size−n see fewer than n `\\S+` runs and fail, so
+    no spurious windows). Captured inner whitespace is normalized to
+    single spaces afterwards, making each shingle byte-equal to the
+    `concat_ws(' ', tokens)` of the windowed form. This removes the
+    per-token exchange + sort entirely — the only shuffle left in the
+    minhash path is the final per-doc aggregate (partial map-side min,
+    ~docs-count rows through the exchange instead of every token).
+
+    History: round 1 built shingle arrays with an interpreted
+    transform(sequence, slice, concat_ws) lambda — Catalyst re-inlined
+    the token split into the lambda (6 split() copies in the physical
+    plan, 4.1 s at sf0.1); rounds 2-6 used posexplode → lead() window —
+    codegen, but one full exchange + sort of every token row (2M rows
+    at sf1.0) before any aggregation."""
+    toks = F.expr(_SPARK_TOKS)
+    pat = r"(?=(\S+(?:\s+\S+){%d}))\S+\s+" % (n_words - 1)
+    shingles = (
+        F.when(F.size(toks) >= n_words,
+               F.regexp_extract_all(F.coalesce(F.col("text"), F.lit("")),
+                                    F.lit(pat), F.lit(1)))
+        .otherwise(F.array(F.concat_ws(" ", toks))))
+    exploded = docs.select("doc_id", F.explode(shingles).alias("_raw"))
+    return exploded.select(
+        "doc_id", F.regexp_replace("_raw", r"\s+", " ").alias("s"))
 
 
 # ---------------------------------------------------------------------------
@@ -119,10 +124,23 @@ def _minhash_mins(sh: DataFrame, hash_impl: str) -> DataFrame:
     N_HASHES values by cheap slicing inside the same hash aggregate
     (map-side combining min) — never one digest per hash function."""
     if hash_impl == "md5":
+        # min() over the NUMERIC value of each fixed-width lowercase-hex
+        # slice, re-encoded to hex after the aggregate: lexicographic
+        # order on fixed-width lowercase hex == numeric order, so the
+        # min is the same value — but a string min-buffer forces
+        # SortAggregate (sort before partial AND final agg, the full
+        # shingle set through a sort), while bigint buffers run as
+        # HashAggregate with map-side partial combine (round 7; the
+        # output hex strings are byte-identical, oracle-pinned)
         h = sh.select("doc_id", F.expr(_SPARK_SHINGLE_HASH).alias("h"))
-        return h.groupBy("doc_id").agg(*[
-            F.min(F.expr(f"substr(h, {1 + _HASH_HEX * k}, {_HASH_HEX})"))
-            .alias(f"h{k}") for k in range(N_HASHES)])
+        mins = h.groupBy("doc_id").agg(*[
+            F.min(F.expr(
+                f"CAST(conv(substr(h, {1 + _HASH_HEX * k}, {_HASH_HEX}), "
+                f"16, 10) AS BIGINT)")).alias(f"m{k}")
+            for k in range(N_HASHES)])
+        return mins.select("doc_id", *[
+            F.expr(f"lpad(lower(hex(m{k})), {_HASH_HEX}, '0')").alias(f"h{k}")
+            for k in range(N_HASHES)])
     if hash_impl == "xxhash64":
         # four seeded 64-bit digests → two DISJOINT 32-bit halves each =
         # 8 independent-ish 32-bit min-hash values, bigint end-to-end
@@ -331,7 +349,19 @@ def spark_neardup_clusters(docs: DataFrame, threshold: float = 0.5,
     release(jpairs)
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")).localCheckpoint())
-    n_vertices = labels.count()
+
+    # exact (decimal — no bigint wrap) label sum: every update is
+    # least(label, ...) so per-vertex labels are monotonically
+    # NONINCREASING; an unchanged exact sum ⟺ no vertex changed. This
+    # folds the convergence check into the same action that materializes
+    # the round's lazy checkpoint — ONE Spark job per round where rounds
+    # 2-6 ran two (checkpoint, then a join+count change detector).
+    def _sum_count(df) -> tuple:
+        r = df.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+                   F.count(F.lit(1)).alias("n")).collect()[0]
+        return r["s"], r["n"]
+
+    prev_sum, n_vertices = _sum_count(labels)
     cap = max_rounds or (2 * math.ceil(math.log2(max(n_vertices, 2))) + 5)
     rounds = 0
     while True:
@@ -346,21 +376,29 @@ def spark_neardup_clusters(docs: DataFrame, threshold: float = 0.5,
                    .select("doc_id",
                            F.least("label", F.coalesce("nb_label", "label"))
                            .alias("label")))
-        # pointer jumping: label ← min(label, label[label])
-        ptr = stepped.select(F.col("doc_id").alias("p_id"),
+        # pointer jumping ×2: label ← min(label, label[label]) twice —
+        # each jump is one self-join on the (small) label table, and two
+        # jumps per round roughly double the per-round distance growth,
+        # so the fixed per-round cost (driver round-trip + scheduling,
+        # the dominant term on modest graphs) is paid ~⅓ fewer times
+        # (round-count drop pinned in tests/test_dedup_similarity.py)
+        cur = stepped
+        for _ in range(2):
+            ptr = cur.select(F.col("doc_id").alias("p_id"),
                              F.col("label").alias("p_label"))
-        new_labels = (stepped.join(ptr, stepped.label == ptr.p_id, "left")
-                      .select("doc_id",
-                              F.least("label", F.coalesce("p_label", "label"))
-                              .alias("label"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .where(F.col("n.label") != F.col("o.label")).count())
+            cur = (cur.join(ptr, cur.label == ptr.p_id, "left")
+                   .select("doc_id",
+                           F.least("label", F.coalesce("p_label", "label"))
+                           .alias("label")))
+        # lazy checkpoint: the sum/count action below materializes it
+        # and detects convergence in the same job
+        new_labels = cur.localCheckpoint(eager=False)
+        cur_sum, _ = _sum_count(new_labels)
         _unpersist_checkpoint(labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     _unpersist_checkpoint(edges)
     if stats is not None:
         stats["rounds"] = rounds

@@ -642,40 +642,90 @@ def embedding_bucket_stats(emb: DataFrame) -> DataFrame:
 def spark_neardup_pairs(emb: DataFrame,
                         threshold: float = 0.35) -> DataFrame:
     """Embedding-cosine near-dup pairs, two-phase like minhash→jaccard:
-    candidates = pairs sharing a sign bucket in ANY of the L hash tables
-    (L bucket equi-joins via one melt + self-join — never a cartesian
-    product), then exact cosine verify ≥ threshold on candidates only.
-    The default threshold 0.35 matches the synthetic testdata, which has
-    no true near-dups (max pairwise cosine ≈ 0.5) — at 0.35 the operator
-    returns rows, so the oracle exercises the verify path. LSH recall is
-    cosine-dependent: ~0.5 for weakly-similar 0.35-pairs on this data,
-    ≈1.0 for actual near-duplicates (sign agreement per table rises with
-    cosine; tests/test_dedup_similarity.py plants perturbed duplicates
-    and pins recall ≥ 0.95 with precision 1.0 vs brute force)."""
-    from .blocks import own
+    candidates = pairs sharing a sign bucket in ANY of the L hash tables,
+    exact-cosine-verified ≥ threshold. The default threshold 0.35 matches
+    the synthetic testdata, which has no true near-dups (max pairwise
+    cosine ≈ 0.5) — at 0.35 the operator returns rows, so the oracle
+    exercises the verify path. LSH recall is cosine-dependent: ~0.5 for
+    weakly-similar 0.35-pairs on this data, ≈1.0 for actual
+    near-duplicates (sign agreement per table rises with cosine;
+    tests/test_dedup_similarity.py plants perturbed duplicates and pins
+    recall ≥ 0.95 with precision 1.0 vs brute force).
+
+    Round-7 shape: the within-bucket all-pairs work runs as ONE numpy
+    matmul kernel per (table, bucket) group (groupBy + applyInPandas),
+    then a distinct over the few surviving (id_a, id_b, sim) rows. The
+    round-4..6 shape (melt → self-join on (t,b) → DISTINCT over every
+    candidate pair → two joins back to the vectors → pair-UDF) paid the
+    shuffle/join machinery on Θ(Σ c²) candidate ROWS before the verify
+    could drop them: 76 s at 20k vectors / 16 buckets (≈50M candidate
+    pairs through an exchange + distinct + 2 joins) vs ~2 s for the
+    same flops as BLAS inside the bucket. Dedup across tables now
+    happens AFTER thresholding (each surviving pair is recomputed with
+    the exact einsum kernel, so duplicate rows are bit-identical and
+    distinct() collapses them); sims are bit-for-bit the old kernel's
+    (same float64 stack → einsum → norm-product → round chain).
+
+    Memory: the kernel tiles the (c × c) similarity matrix in row blocks
+    of ≤ 8M doubles, so a hot bucket streams instead of materializing
+    c² floats. At production scale the bucket count (2^N_IVF_BITS × L)
+    bounds parallelism — raise N_IVF_BITS with corpus size (SCALE.md)
+    exactly as for the IVF operators."""
+    import pandas as pd
 
     n_tables = _usable_tables(emb)  # never read dims the vectors lack
     base = emb.select("vec_id", "embedding")
-    # persisted (not localCheckpoint) so the self-join computes the melt
-    # once and the caller can free the blocks: blocks.release(result)
-    melted = _melt_tables(base, n_tables).persist()
-    x = melted.alias("x")
-    y = melted.alias("y")
-    cand = (x.join(y, ["t", "b"])
-            .where(F.col("x.vec_id") < F.col("y.vec_id"))
-            .select(F.col("x.vec_id").alias("id_a"),
-                    F.col("y.vec_id").alias("id_b"))
+    melted = base.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     F.expr(_sign_bucket_expr("embedding", t))
+                     .cast("int").alias("b"))
+            for t in range(n_tables)])).alias("tb")
+    ).select("vec_id", "embedding", "tb.t", "tb.b")
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "sim": pd.Series([], dtype="float64")})
+        c = len(pdf)
+        if c < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        G = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(G, axis=1)
+        blk = max(1, 8_000_000 // c)
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, c, blk):
+            i1 = min(i0 + blk, c)
+            # coarse block: matmul cosine with a safety margin (matmul
+            # and einsum can differ in the last ulp; margin ≫ that)
+            S = (G[i0:i1] @ G.T) / np.outer(norms[i0:i1], norms)
+            ii, jj = np.nonzero(S >= threshold - 1e-6)
+            keep = ii + i0 < jj          # upper triangle: id_a < id_b
+            ii, jj = ii[keep] + i0, jj[keep]
+            if len(ii) == 0:
+                continue
+            # exact recompute on survivors — the bit-identical twin of
+            # cosine_pair_udf's einsum/norm/round chain
+            A, B = G[ii], G[jj]
+            s = np.round(
+                np.einsum("ij,ij->i", A, B)
+                / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)), 6)
+            m = s >= threshold
+            out_a.append(ids[ii[m]])
+            out_b.append(ids[jj[m]])
+            out_s.append(s[m])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "sim": np.concatenate(out_s)})
+
+    return (melted.groupBy("t", "b")
+            .applyInPandas(verify, "id_a long, id_b long, sim double")
             .distinct())
-    cos = cosine_pair_udf()
-    j = (cand
-         .join(base.select(F.col("vec_id").alias("id_a"),
-                           F.col("embedding").alias("e_a")), "id_a")
-         .join(base.select(F.col("vec_id").alias("id_b"),
-                           F.col("embedding").alias("e_b")), "id_b")
-         .withColumn("sim", cos(F.col("e_a"), F.col("e_b"))))
-    out = (j.where(F.col("sim") >= threshold)
-           .select("id_a", "id_b", "sim"))
-    return own(out, "persist", melted)
 
 
 def duck_neardup_pairs_sql(threshold: float = 0.35) -> str:

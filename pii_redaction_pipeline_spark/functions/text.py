@@ -69,11 +69,84 @@ BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 _STEP_CATEGORIES = _CATEGORY_ORDER + ["email", "ssn", "phone", "toxic"]
 
 
+# --- trie-factored alternations (Spark side only) ---------------------------
+#
+# Java's regex engine evaluates a flat alternation (t1|t2|...|t260) by
+# trying every branch at every input position — O(positions × terms).
+# Factoring shared prefixes into a character trie ("new york( city)?"
+# instead of "new york city|new york") cuts that to O(positions ×
+# branching factor): a position that cannot start any term fails after
+# one or two character comparisons instead of ~260 branch attempts.
+#
+# Matched spans are IDENTICAL to the flat longest-first alternation
+# under backtracking semantics: two distinct terms can only both match
+# at one position when one is a prefix of the other (distinct
+# equal-length literals cannot co-match), the flat pattern prefers the
+# longer (SORTED_TERMS is longest-first and the trailing \b is the only
+# thing that can reject a branch), and the trie's greedy optional
+# suffixes (`(?:...)?`) also try deeper = longer continuations first —
+# tests/test_text_chain.py pins flat == trie span-for-span.
+#
+# The DuckDB emitters below keep the flat patterns verbatim: the oracle
+# SQL text is fingerprinted by the driver and RE2 (no backtracking) is a
+# different engine; only the Spark physical plan changes.
+
+def _trie_regex(words: list[str]) -> str:
+    """Alternation body matching exactly the same spans as
+    "|".join(words) (terms must be lowercase [a-z ] literals)."""
+    root: dict = {}
+    for w in words:
+        assert w and all(c.islower() or c == " " for c in w), w
+        node = root
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node[""] = {}  # terminal marker
+
+    def emit(node: dict) -> str:
+        end = "" in node
+        alts, leaves = [], []
+        for ch in sorted(k for k in node if k != ""):
+            s = emit(node[ch])
+            if s:
+                alts.append(ch + s)
+            else:
+                leaves.append(ch)
+        if leaves:
+            alts.append(leaves[0] if len(leaves) == 1
+                        else "[" + "".join(leaves) + "]")
+        if not alts:
+            return ""
+        body = (alts[0] if len(alts) == 1 and not end
+                else "(?:" + "|".join(alts) + ")")
+        return body + "?" if end else body
+
+    return emit(root)
+
+
+def _spark_trie_pattern(terms: list[str]) -> str:
+    return r"(?i)\b(?:" + _trie_regex(terms) + r")\b"
+
+
+def spark_scrub_steps() -> list[tuple[str, str]]:
+    """scrub_steps() with the lexicon/toxicity alternations trie-factored
+    — same (pattern language, replacement) pairs, faster Java matching."""
+    steps = [(_spark_trie_pattern(_terms_for(c)), lx.CATEGORY_LABELS[c])
+             for c in _CATEGORY_ORDER]
+    for cat, pat in lx.REGEX_SCRUB_ORDER:
+        steps.append((pat, lx.CATEGORY_LABELS[cat]))
+    steps.append((_spark_trie_pattern(list(lx.TOXICITY_WORDS)),
+                  lx.CATEGORY_LABELS["toxic"]))
+    return steps
+
+
+SPARK_RESCAN_PATTERN = _spark_trie_pattern([t for t, _ in lx.SORTED_TERMS])
+
+
 # --- Spark emitters ---------------------------------------------------------
 
 def scrub_col(col: Column) -> Column:
     out = col
-    for pat, rep in scrub_steps():
+    for pat, rep in spark_scrub_steps():
         out = F.regexp_replace(out, pat, rep)
     return out
 
@@ -85,14 +158,14 @@ def step_count_cols(col: Column) -> dict[str, Column]:
     higher-priority pass — the chain's true semantics."""
     counts: dict[str, Column] = {}
     out = col
-    for cat, (pat, rep) in zip(_STEP_CATEGORIES, scrub_steps()):
+    for cat, (pat, rep) in zip(_STEP_CATEGORIES, spark_scrub_steps()):
         counts[cat] = F.regexp_count(out, F.lit(pat)).cast("bigint")
         out = F.regexp_replace(out, pat, rep)
     return counts
 
 
 def rescan_count_col(col: Column) -> Column:
-    return F.regexp_count(col, F.lit(RESCAN_PATTERN)).cast("bigint")
+    return F.regexp_count(col, F.lit(SPARK_RESCAN_PATTERN)).cast("bigint")
 
 
 # --- DuckDB SQL emitters ----------------------------------------------------

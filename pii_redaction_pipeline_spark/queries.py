@@ -54,8 +54,29 @@ EXACT_ENRICH_SQL = ENRICH_SQL.replace(
     "'the Houston and Texas corridor keeps growing' ")
 
 
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+def _read(spark: SparkSession, sf_dir: str, table: str,
+          spread: bool = True) -> DataFrame:
+    """Registry table scan, redistributed to full width when the file
+    layout under-splits (round 7). A parquet split cannot cross a row
+    group, so a small table written as one file with one row group scans
+    as ONE task no matter the split config — and every row-local stage
+    fused onto that scan (regex chains, token explodes, pandas UDFs)
+    then runs on 1 of N cores (measured at sf1.0: the whole scrub-chain
+    family was 1-2-task-bound, 16× under-parallel at local[32]). The
+    gate keeps well-laid-out inputs untouched: redistribution only fires
+    when the scan yields fewer splits than defaultParallelism, so a
+    production table with many 128 MB-row-group files never pays the
+    exchange, and the exchange it does pay on small inputs moves the
+    narrow base rows once, BEFORE they fan out into tokens/shingles/
+    UDF work (the same job the round-2..6 shingle window's exchange did
+    by accident). `spread=False` for broadcast-side dimension tables —
+    collecting them to a broadcast needs no width."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if spread:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+    return df
 
 
 def _docs_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,8 +264,18 @@ def _sql_qa_histogram() -> str:
 
 
 def q_pii_category_totals(spark, sf_dir):
-    """A2: corpus-wide per-category totals (explode-equivalent rollup)."""
+    """A2: corpus-wide per-category totals (explode-equivalent rollup).
+
+    The monotonically_increasing_id() >= 0 filter is a COLLAPSE BARRIER
+    (always true; same device as fuzzy_sql's pushdown barrier): without
+    it CollapseProject folds the scrub-count projection into the 9
+    aggregate expressions, and Catalyst does not CSE across aggregate
+    expressions — each sum() re-evaluates its whole regexp-chain prefix
+    per row (measured r7 at sf1.0: 6.0 s collapsed vs 1.1 s for the
+    scrub_counts projection itself). Behind the barrier the chain runs
+    once per row and the sums aggregate plain columns."""
     df = q_scrub_counts(spark, sf_dir)
+    df = df.where(F.monotonically_increasing_id() >= 0)
     aggs = [F.sum(f"n_{c}").cast("bigint").alias(f"total_{c}")
             for c in tx._STEP_CATEGORIES]
     return df.agg(*aggs)
@@ -293,8 +324,8 @@ def q_top_suppliers(spark, sf_dir):
     """Broadcast-join star query: lineitem ⋈ supplier ⋈ nation, top-10 by
     revenue. Dim tables are broadcast (no shuffle of the fact table)."""
     li = _read(spark, sf_dir, "lineitem")
-    sup = _read(spark, sf_dir, "supplier")
-    nat = _read(spark, sf_dir, "nation")
+    sup = _read(spark, sf_dir, "supplier", spread=False)  # broadcast side
+    nat = _read(spark, sf_dir, "nation", spread=False)    # broadcast side
     rev = (li.groupBy("l_suppkey")
            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
                 .alias("revenue")))
@@ -322,7 +353,9 @@ LIMIT 10
 def q_events_minutely(spark, sf_dir):
     """Tumbling-window aggregation over the events stream table (batch twin
     of the Structured Streaming pipeline in streaming/)."""
-    ev = _read(spark, sf_dir, "events")
+    # spread=False: one cheap partial-aggregating pass; the extra
+    # exchange costs more than the scan-width it buys (measured r7)
+    ev = _read(spark, sf_dir, "events", spread=False)
     return (ev.groupBy(F.date_trunc("minute", "ts").alias("minute"),
                        "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -343,7 +376,8 @@ def q_user_sessions(spark, sf_dir):
     classic streaming-state shape expressed as batch windows."""
     from pyspark.sql import Window as W
 
-    ev = _read(spark, sf_dir, "events")
+    # spread=False: the session window shuffles by user_id anyway
+    ev = _read(spark, sf_dir, "events", spread=False)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     lag_ts = F.lag("ts").over(w)
     new_sess = F.when(
@@ -402,7 +436,7 @@ FROM ({_sql_keep_drop()}) GROUP BY keep
 
 def q_lang_rollup(spark, sf_dir):
     """ROLLUP(lang, source) — grouping-sets capability (SURVEY §2.4 note)."""
-    df = _read(spark, sf_dir, "documents")
+    df = _read(spark, sf_dir, "documents", spread=False)  # cheap agg
     return (df.rollup("lang", "source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").cast("bigint").alias("sum_chars")))
@@ -421,7 +455,9 @@ FROM documents GROUP BY ROLLUP(lang, source)
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup by content hash: canonical = min doc_id per hash."""
-    df = _read(spark, sf_dir, "documents")
+    # spread=False: one md5+agg per row is too light to amortize an
+    # up-front exchange (measured r7: 0.30 s -> 0.83 s with spread)
+    df = _read(spark, sf_dir, "documents", spread=False)
     return (df.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
             .agg(F.min("doc_id").alias("canonical_id"),
                  F.count(F.lit(1)).alias("n_copies")))
@@ -558,7 +594,8 @@ def q_lang_char_median(spark, sf_dir):
     """Grouped custom aggregation via applyInPandas (UDAF surface): per-
     language doc count + median n_chars. The grouped-map shape is the
     plug-in point for arbitrary per-group Python (state, models)."""
-    docs = _read(spark, sf_dir, "documents").select("lang", "n_chars")
+    docs = _read(spark, sf_dir, "documents",
+                 spread=False).select("lang", "n_chars")  # cheap agg
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -855,17 +892,22 @@ FROM g
 def q_pipeline_exact_sql(spark, sf_dir):
     """JVM-only twin of the exact-only pipeline (round-5 verdict item 8):
     the same semantics as q_pipeline_exact_only but with ZERO Python —
-    scrub chain, step counts, rescan, quality metrics, and the grade
-    CASE are all built-in Column expressions (whole-stage codegen); the
-    langid confidence is a per-language stopword-hit ratio via array
-    `filter` lambdas, each evaluated ONCE (the lone interpreted-HOF
-    expression — the argmax lang_pred is not needed for `keep`). This
-    gives a third execution engine for the exact layer: pandas-UDF
-    kernel (pipeline_exact_only), DuckDB (shared oracle SQL), and pure
-    Spark SQL — all three hash-compared on the same corpus
-    (tests/test_queries_oracle.py pins Spark-SQL == UDF-path equality).
-    Scale: row-local, shuffle-free, no Python workers — the plan a
-    UDF-less engine would run at 10^12 clips."""
+    scrub chain, step counts, rescan, quality metrics, the langid
+    confidence, and the grade CASE are all built-in Column expressions
+    (whole-stage codegen, no interpreted HOF lambdas). The langid
+    confidence is a per-language stopword-hit ratio computed with
+    `regexp_count` over the lowered text (round 7 — the round-6 form
+    used per-token interpreted array-`filter` lambdas, the #1 plan
+    killer from round-1 lore): a whitespace-or-edge-anchored
+    alternation matches exactly the COMPLETE \\s+-split tokens that
+    equal a stopword, so the count equals the filter-lambda's hit count
+    token-for-token, and the ratio divides by the same size(_q_tokens)
+    denominator (word_cnt). This gives a third execution engine for the
+    exact layer: pandas-UDF kernel (pipeline_exact_only), DuckDB
+    (shared oracle SQL), and pure Spark SQL — all three hash-compared
+    on the same corpus (tests/test_queries_oracle.py pins Spark-SQL ==
+    UDF-path equality). Scale: row-local, shuffle-free, no Python
+    workers — the plan a UDF-less engine would run at 10^12 clips."""
     clips = clips_from_documents(spark, sf_dir, with_audio=False,
                                  enrich_sql=EXACT_ENRICH_SQL)
     df = clips.select("clip_id", F.col("transcript").alias("etext"))
@@ -883,15 +925,21 @@ def q_pipeline_exact_sql(spark, sf_dir):
           .withColumn("verify_pii_count",
                       tx.rescan_count_col(F.col("scrubbed_text"))
                       .cast("bigint")))
-    df = with_quality(df, "etext")  # keeps the _q_tokens helper column
-    from .functions.quality import _TOKENS as _QTOKS
+    df = with_quality(df, "etext")  # word_cnt == size(_q_tokens)
     scores = []
     for lang in lx.LANG_PRIORITY:
-        lits = ", ".join("'" + w + "'" for w in lx.LANG_STOPWORDS[lang])
-        scores.append(F.expr(
-            f"CASE WHEN size({_QTOKS}) > 0 THEN "
-            f"CAST(size(filter({_QTOKS}, x -> lower(x) IN ({lits}))) "
-            f"AS DOUBLE) / size({_QTOKS}) ELSE 0.0 END"))
+        # complete-token equality as a regex: start-or-whitespace, the
+        # stopword, end-or-whitespace — a match is exactly one \s+-split
+        # token equal to one stopword (anchors make alternation order
+        # irrelevant; lower() of the full text == lower() per token for
+        # these stopword alphabets)
+        pat = (r"(?:^|(?<=\s))(?:" + "|".join(lx.LANG_STOPWORDS[lang])
+               + r")(?:$|(?=\s))")
+        hits = F.regexp_count(F.lower(F.col("etext")), F.lit(pat))
+        scores.append(
+            F.when(F.col("word_cnt") > 0,
+                   hits.cast("double") / F.col("word_cnt").cast("double"))
+            .otherwise(F.lit(0.0)))
     lang_conf = F.greatest(*scores)
     v = F.col("verify_pii_count")
     qa = (F.when(v == 0, "PASS")

@@ -321,10 +321,12 @@ def test_release_frees_all_blocks(spark, planted):
 
     jsc = spark.sparkContext._jsc.sc()
     before = len(jsc.getRDDStorageInfo())
+    # spark_neardup_pairs owns 0 blocks since round 7: the per-bucket
+    # matmul kernel has no self-join, so nothing is persisted at all
     for out, min_owned in [(dd.spark_lsh_pairs(docs), 1),
                            (dd.spark_jaccard_pairs(docs), 2),
                            (dd.spark_neardup_clusters(docs), 1),
-                           (spark_neardup_pairs(planted), 1)]:
+                           (spark_neardup_pairs(planted), 0)]:
         out.write.format("noop").mode("overwrite").save()
         assert bl.release(out) >= min_owned
         assert bl.release(out) == 0  # idempotent
@@ -591,3 +593,25 @@ def test_centroid_multiprobe_recall_geq_single(planted):
     for key, s_sim in single.items():
         assert key in multi
         assert multi[key] >= s_sim - 1e-9
+
+
+def test_shingle_rows_regex_equals_token_windows(spark):
+    """Round-7 shingle generator (lookahead-capture regex, no window
+    pass) must emit exactly the tokens[i:i+n] windows joined with single
+    spaces — including texts with multi-space/tab/newline separators,
+    leading/trailing whitespace, short docs, and the empty doc."""
+    from pii_redaction_pipeline_spark.functions.dedup import shingle_rows
+
+    texts = ["", " ", "a", "a b", "a b c", "a  b\tc   d", "a b c d e f g",
+             "  lead and trail  ", "x\ny z\t\tw q", "a a a a a"]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    for n in (3, 5):
+        got: dict[int, list[str]] = {}
+        for r in shingle_rows(docs, n_words=n).collect():
+            got.setdefault(r.doc_id, []).append(r.s)
+        for i, t in enumerate(texts):
+            toks = t.split()
+            want = ([" ".join(toks[k:k + n]) for k in range(len(toks) - n + 1)]
+                    if len(toks) >= n else [" ".join(toks)])
+            assert sorted(got[i]) == sorted(want), (n, repr(t))

@@ -135,3 +135,48 @@ def test_exact_word_path_equals_chain_on_clean_term_tokens():
         assert got == want, repr(text)
         n_checked += 1
     assert n_checked == 300
+
+
+def test_trie_patterns_match_flat_spans():
+    """Round-7: the Spark emitters run trie-factored alternations
+    (tx.spark_scrub_steps / tx.SPARK_RESCAN_PATTERN) while the DuckDB
+    emitters keep the flat longest-first patterns. Under backtracking
+    semantics (Python `re` here ≡ Java regex for literal alternations,
+    greedy (?:...)?, \\b, (?i)) the two must match span-for-span: two
+    distinct terms can only co-match at a position when one prefixes the
+    other, the flat order prefers the longer, and the trie's greedy
+    optional suffixes also try deeper-first."""
+    flat_steps = tx.scrub_steps()
+    trie_steps = tx.spark_scrub_steps()
+    assert len(flat_steps) == len(trie_steps)
+    adversarial = [
+        "sundays sun sunday sundae",
+        "new york cityx new york city new yorks newark",
+        "st petersburgh st petersburg st paulx st pa",
+        "may mayor dismay maying",
+        "tan tank tangerine tans",
+        "greenville green greens greenvil",
+        "district of columbia district of columbi",
+        "kansas city kansas  city kansascity",
+        "washington's washington, wash",
+        "orange! orange? orangeade",
+    ]
+    texts = list(_texts()) + adversarial
+    for (fp, fr), (tp, tr) in zip(flat_steps, trie_steps):
+        assert fr == tr
+        f, t = re.compile(fp), re.compile(tp)
+        for text in texts:
+            assert ([m.span() for m in f.finditer(text)]
+                    == [m.span() for m in t.finditer(text)]), (fp[:40], text)
+    f = re.compile(tx.RESCAN_PATTERN)
+    t = re.compile(tx.SPARK_RESCAN_PATTERN)
+    for text in texts:
+        assert ([m.span() for m in f.finditer(text)]
+                == [m.span() for m in t.finditer(text)]), text
+    # and the full replacement chains agree end-to-end
+    for text in texts:
+        a, b = text, text
+        for (fp, fr), (tp, tr) in zip(flat_steps, trie_steps):
+            a = re.sub(fp, fr, a)
+            b = re.sub(tp, tr, b)
+        assert a == b, text
