@@ -35,6 +35,15 @@ sys.path.insert(0, str(REPO))
 
 PKG_ZIP = "pii_redaction_pipeline_spark.zip"
 
+# auto-enable threshold for the vocabulary-broadcast fuzzy path: inputs
+# at least this large amortize the one extra vocabulary scan (the
+# SALT_VALIDATION.md runbook conclusion — "safe to leave ON for any
+# corpus large enough to amortize one extra scan"); env-overridable for
+# tests and deploy tuning
+AUTO_FUZZY_VOCAB_MIN_BYTES = int(
+    __import__("os").environ.get("PII_SPARK_FUZZY_VOCAB_AUTO_MIN_BYTES",
+                                 1 << 30))
+
 
 def make_zip(out: str = PKG_ZIP) -> str:
     pkg = REPO / "pii_redaction_pipeline_spark"
@@ -145,7 +154,8 @@ def main(argv: list[str] | None = None) -> None:
              "input would roughly double job cost at corpus scale; "
              "pass 1.0 to probe everything on small inputs)")
     ap.add_argument(
-        "--fuzzy-vocab-broadcast", action="store_true",
+        "--fuzzy-vocab-broadcast", dest="fuzzy_vocab_broadcast",
+        action="store_true", default=None,
         help="precompute the fuzzy layer ONCE over the corpus's "
              "distinct vocabulary (one relational job: broadcast "
              "candidate dim + JVM levenshtein) and broadcast the "
@@ -153,7 +163,17 @@ def main(argv: list[str] | None = None) -> None:
              "cost byte-proportional — the 10^12-scale path and the "
              "root fix for hot-vocabulary cost skew "
              "(BENCH/SALT_VALIDATION.md). Output is identical "
-             "(test-pinned + oracle row pipeline_full_vocab).")
+             "(test-pinned + oracle row pipeline_full_vocab). DEFAULT: "
+             "AUTO (round 7) — enabled when the input's estimated size "
+             "is at least $PII_SPARK_FUZZY_VOCAB_AUTO_MIN_BYTES "
+             f"(default {AUTO_FUZZY_VOCAB_MIN_BYTES} = 1 GiB), i.e. "
+             "whenever the corpus is large enough to amortize the one "
+             "extra vocabulary scan (SALT_VALIDATION.md runbook: ≈free "
+             "at 8M clips, one ~7 s vocab job at 32M).")
+    ap.add_argument(
+        "--no-fuzzy-vocab-broadcast", dest="fuzzy_vocab_broadcast",
+        action="store_false",
+        help="force the per-row fuzzy path regardless of input size")
     ap.add_argument(
         "--rewrite-layout", metavar="OUT_PATH", default=None,
         help="ONE-TIME offline layout remedy for cost-skewed inputs "
@@ -238,14 +258,26 @@ def main(argv: list[str] | None = None) -> None:
                 f"runs at OUT_PATH (shuffle-free, measured ≥0.8 "
                 f"scaling); (2) if the skew is fuzzy-vocabulary cost, "
                 f"--fuzzy-vocab-broadcast removes the class at the "
-                f"root; (3) per-run salt: --salt-partitions "
+                f"root (AUTO-ON for inputs ≥ "
+                f"{AUTO_FUZZY_VOCAB_MIN_BYTES} est. bytes since round "
+                f"7; pass the flag to force it on smaller inputs); "
+                f"(3) per-run salt: --salt-partitions "
                 f"{advice['salt_partitions']} (8×cores — rescues "
                 f"stragglers but the exchange ceilings scaling at "
                 f"~0.65; see BENCH/SALT_VALIDATION.md).", RuntimeWarning)
 
+    fuzzy_vocab = args.fuzzy_vocab_broadcast
+    if fuzzy_vocab is None:  # AUTO: plan-stats size estimate, no extra job
+        est_bytes = int(clips._jdf.queryExecution().optimizedPlan()
+                        .stats().sizeInBytes())
+        fuzzy_vocab = est_bytes >= AUTO_FUZZY_VOCAB_MIN_BYTES
+        print(json.dumps({"fuzzy_vocab_broadcast_auto": fuzzy_vocab,
+                          "input_est_bytes": est_bytes,
+                          "threshold_bytes": AUTO_FUZZY_VOCAB_MIN_BYTES}))
+
     cfg = PipelineConfig(with_audio_verify=not args.no_audio_verify,
                          with_ppl=not args.no_ppl,
-                         fuzzy_vocab_broadcast=args.fuzzy_vocab_broadcast,
+                         fuzzy_vocab_broadcast=fuzzy_vocab,
                          salt_partitions=args.salt_partitions)
 
     def process(df):

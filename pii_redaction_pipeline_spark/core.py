@@ -277,7 +277,13 @@ def detect_words(text: str,
     tokens = text.split()
     if not tokens:
         return [], []
-    norm = [_normalize_cached(t) for t in tokens]
+    # inlined memo probe: one dict hit per already-seen token instead of
+    # a _normalize_cached call (the list comp is the kernel's hottest
+    # line at ~500k tokens per profile window; '' is a valid cached
+    # value, so the miss test is a sentinel compare, not truthiness)
+    cache_get = _NORM_CACHE.get
+    norm = [v if (v := cache_get(t)) is not None else _normalize_cached(t)
+            for t in tokens]
     matched: set[int] = set()
     matches = exact_match(tokens, norm, matched)
     if with_fuzzy:
@@ -294,6 +300,8 @@ def redact_tokens(tokens: list[str], matches: list[Match]) -> str:
     """Replace the first word of each match with its category label, drop
     subsequent words of multi-word matches (reference
     src/text_redactor.py:92-156, single-segment case)."""
+    if not matches:
+        return " ".join(tokens)  # fast path: nothing to redact
     first_word = {}
     member = set()
     for m in matches:
@@ -334,9 +342,14 @@ def regex_scrub(text: str) -> tuple[str, dict[str, int]]:
         text, n = pat.subn(lx.CATEGORY_LABELS[cat], text)
         if n:
             counts[cat] = n
-    text, n = _TOXIC_RE.subn(lx.CATEGORY_LABELS["toxic"], text)
-    if n:
-        counts["toxic"] = n
+    # same cheap-gate idea for the toxicity pass: a \b-bounded match
+    # requires the lowercase word as a substring, and C-level substring
+    # scans are ~10× cheaper than the alternation subn on clean rows
+    lower = text.lower()
+    if any(w in lower for w in lx.TOXICITY_WORDS):
+        text, n = _TOXIC_RE.subn(lx.CATEGORY_LABELS["toxic"], text)
+        if n:
+            counts["toxic"] = n
     return text, counts
 
 

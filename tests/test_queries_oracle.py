@@ -103,3 +103,29 @@ def test_pipeline_exact_sql_equals_udf_path(spark):
     ra = normalize([[r[c] for c in a.columns] for r in a.collect()], a.columns)
     rb = normalize([[r[c] for c in b.columns] for r in b.collect()], b.columns)
     assert ra == rb
+
+
+def test_testdata_tokens_are_single_byte():
+    """Round-7 guard (round-6 verdict item 5): the wordpath/wer DuckDB
+    oracles assume ASCII-only tokens (byte-based vs codepoint-based
+    levenshtein). Every driver SF's documents text must pass the guard,
+    and a non-ASCII token must trip it with the remedy in the message."""
+    import duckdb
+    import pytest as _pytest
+
+    from pii_redaction_pipeline_spark.functions.wordpath_sql import (
+        assert_single_byte_tokens,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        texts = [r[0] for r in con.sql(
+            "SELECT coalesce(text,'') FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet')"
+        ).fetchall()]
+        con.close()
+        assert_single_byte_tokens(texts, source=sf)
+
+    with _pytest.raises(AssertionError, match="non-ASCII token 'café'"):
+        assert_single_byte_tokens(["plain ok", "un café noir"],
+                                  source="synthetic")

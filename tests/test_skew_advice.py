@@ -230,14 +230,16 @@ def _job_env():
     return env
 
 
-def _run_job(args_list, timeout=420):
+def _run_job(args_list, timeout=420, extra_env=None):
     """One job.py subprocess with the suite's one-retry guard for
     transient JVM-spawn failures under a loaded epoch."""
     def go():
+        env = _job_env()
+        env.update(extra_env or {})
         return subprocess.run(
             [sys.executable, str(REPO / "job.py"), *args_list],
             capture_output=True, text=True, timeout=timeout,
-            cwd=str(REPO), env=_job_env())
+            cwd=str(REPO), env=env)
     r = go()
     if r.returncode != 0:
         r = go()
@@ -310,3 +312,60 @@ def test_job_fuzzy_vocab_broadcast_cli(spark, tmp_path):
                                    "n_fuzzy").collect()}
     assert got == exp
     assert any(v[1] > 0 for v in got.values())  # fuzzy layer really fired
+
+
+@pytest.mark.slow
+def test_job_fuzzy_vocab_broadcast_auto_default(spark, tmp_path):
+    """Round-7 default (round-6 verdict item 4): with NO flag given,
+    job.py auto-enables the vocabulary-broadcast fuzzy path when the
+    input's estimated size clears $PII_SPARK_FUZZY_VOCAB_AUTO_MIN_BYTES
+    (forced to 1 byte here), prints the auto-decision receipt, and the
+    output still matches the per-row fuzzy path row-for-row;
+    --no-fuzzy-vocab-broadcast force-disables regardless of size."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    corpus = tmp_path / "corpus"
+    docs = spark.range(60).select(
+        F.format_string("clip_%06d", F.col("id")).alias("clip_id"),
+        F.concat(
+            F.lit("they wrote huston and febuary in the memo "),
+            F.format_string("tok%04d filler", F.col("id"))
+        ).alias("transcript"), *_clip_cols())
+    docs.repartition(2).write.mode("overwrite").parquet(str(corpus))
+
+    out = tmp_path / "out_auto"
+    r = _run_job(["--input", str(corpus), "--output", str(out),
+                  "--buckets", "2", "--no-audio-verify", "--no-ppl"],
+                 extra_env={"PII_SPARK_FUZZY_VOCAB_AUTO_MIN_BYTES": "1"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(x) for x in r.stdout.strip().splitlines()
+             if x.startswith("{")]
+    auto = next(x for x in lines if "fuzzy_vocab_broadcast_auto" in x)
+    assert auto["fuzzy_vocab_broadcast_auto"] is True
+    assert auto["threshold_bytes"] == 1
+
+    results = spark.read.parquet(str(out / "results"))
+    got = {r_["clip_id"]: (r_["scrubbed_text"], r_["n_fuzzy"])
+           for r_ in results.select("clip_id", "scrubbed_text",
+                                    "n_fuzzy").collect()}
+    from pii_redaction_pipeline_spark.pipeline import (
+        PipelineConfig,
+        apply_pipeline,
+    )
+    exp_df = apply_pipeline(spark.read.parquet(str(corpus)),
+                            PipelineConfig(with_audio_verify=False,
+                                           with_ppl=False))
+    exp = {r_["clip_id"]: (r_["scrubbed_text"], r_["n_fuzzy"])
+           for r_ in exp_df.select("clip_id", "scrubbed_text",
+                                   "n_fuzzy").collect()}
+    assert got == exp
+    assert any(v[1] > 0 for v in got.values())  # fuzzy layer really fired
+
+    # force-off wins over any size threshold: no auto receipt printed
+    out2 = tmp_path / "out_off"
+    r2 = _run_job(["--input", str(corpus), "--output", str(out2),
+                   "--buckets", "2", "--no-audio-verify", "--no-ppl",
+                   "--no-fuzzy-vocab-broadcast"],
+                  extra_env={"PII_SPARK_FUZZY_VOCAB_AUTO_MIN_BYTES": "1"})
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "fuzzy_vocab_broadcast_auto" not in r2.stdout
