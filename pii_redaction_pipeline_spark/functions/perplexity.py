@@ -93,6 +93,8 @@ def _ppl_one(text) -> float:
 
 @pandas_udf(T.DoubleType())
 def ppl_udf(transcript: pd.Series) -> pd.Series:
+    from .worker import tune_gc
+    tune_gc()
     model = _kenlm_model()
     if model is not None:
         return pd.Series([

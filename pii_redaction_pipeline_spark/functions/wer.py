@@ -173,6 +173,8 @@ def wer_counts_batch(references: list[str],
 
 @pandas_udf(WER_STRUCT)
 def wer_udf(reference: pd.Series, hypothesis: pd.Series) -> pd.DataFrame:
+    from .worker import tune_gc
+    tune_gc()
     out = wer_counts_batch(list(reference), list(hypothesis))
     return pd.DataFrame({
         "wer": out["wer"],
