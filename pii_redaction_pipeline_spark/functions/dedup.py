@@ -41,6 +41,22 @@ N_HASHES = 8
 N_BANDS = 4          # 2 rows per band
 SHINGLE_WORDS = 3
 
+def _spread_input(docs: DataFrame) -> DataFrame:
+    """Redistribute an under-split scan to full width before the token/
+    shingle fan-out (round 7; same gate as queries._read — a one-row-
+    group parquet file scans as ONE task, and the hash/vote work fused
+    onto it then runs on 1 of N cores). No-op when the input already has
+    enough partitions (e.g. it came through queries._read, or a
+    well-laid-out production table)."""
+    try:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            return docs.repartition(par)
+    except Exception:
+        pass  # streaming/exotic plans: keep the input as-is
+    return docs
+
+
 # ---------------------------------------------------------------------------
 # shingles
 # ---------------------------------------------------------------------------
@@ -84,6 +100,7 @@ def shingle_rows(docs: DataFrame, n_words: int = SHINGLE_WORDS) -> DataFrame:
     plan, 4.1 s at sf0.1); rounds 2-6 used posexplode → lead() window —
     codegen, but one full exchange + sort of every token row (2M rows
     at sf1.0) before any aggregation."""
+    docs = _spread_input(docs)
     toks = F.expr(_SPARK_TOKS)
     pat = r"(?=(\S+(?:\s+\S+){%d}))\S+\s+" % (n_words - 1)
     shingles = (
@@ -452,7 +469,7 @@ def _bit_divisor(k: int) -> int:
 def spark_simhash(docs: DataFrame) -> DataFrame:
     """16-bit simhash: majority vote per bit over word hashes. One md5
     per token (projected before the agg), codegen arithmetic after."""
-    toks = docs.select(
+    toks = _spread_input(docs).select(
         "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w"))
     hashed = toks.select(
         "doc_id",
@@ -643,7 +660,7 @@ def spark_simhash64(docs: DataFrame,
     hashes. One digest per token (projected before the agg — Catalyst
     does not CSE across aggregate expressions), 64 codegen sum
     aggregates, map-side combining."""
-    toks = docs.select(
+    toks = _spread_input(docs).select(
         "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w"))
     cols, bit_tpl = _sim64_bit_exprs(hash_impl)
     hashed = toks.select("doc_id", *cols)
