@@ -294,7 +294,9 @@ def _sql_pii_totals() -> str:
 
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan-heavy agg with partial+final hash agg."""
-    li = _read(spark, sf_dir, "lineitem")
+    # spread=False: scan-heavy agg, trivial per-row work — the
+    # redistribution exchange costs more than scan width buys
+    li = _read(spark, sf_dir, "lineitem", spread=False)
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -323,7 +325,7 @@ GROUP BY l_returnflag, l_linestatus
 def q_top_suppliers(spark, sf_dir):
     """Broadcast-join star query: lineitem ⋈ supplier ⋈ nation, top-10 by
     revenue. Dim tables are broadcast (no shuffle of the fact table)."""
-    li = _read(spark, sf_dir, "lineitem")
+    li = _read(spark, sf_dir, "lineitem", spread=False)  # cheap agg
     sup = _read(spark, sf_dir, "supplier", spread=False)  # broadcast side
     nat = _read(spark, sf_dir, "nation", spread=False)    # broadcast side
     rev = (li.groupBy("l_suppkey")
@@ -555,29 +557,29 @@ def q_neardup_clusters(spark, sf_dir):
 
 def q_ann_cosine_topk(spark, sf_dir):
     from .functions.similarity import spark_cosine_topk
-    return spark_cosine_topk(_read(spark, sf_dir, "embeddings"))
+    return spark_cosine_topk(_read(spark, sf_dir, "embeddings", spread=False))
 
 
 def q_embedding_neardup(spark, sf_dir):
     from .functions.similarity import spark_neardup_pairs
-    return spark_neardup_pairs(_read(spark, sf_dir, "embeddings"))
+    return spark_neardup_pairs(_read(spark, sf_dir, "embeddings", spread=False))
 
 
 def q_ann_ivf_topk(spark, sf_dir):
     from .functions.similarity import spark_cosine_topk_ivf
-    return spark_cosine_topk_ivf(_read(spark, sf_dir, "embeddings"))
+    return spark_cosine_topk_ivf(_read(spark, sf_dir, "embeddings", spread=False))
 
 
 def q_ann_ivf_multiprobe(spark, sf_dir):
     from .functions.similarity import spark_cosine_topk_ivf_multiprobe
-    return spark_cosine_topk_ivf_multiprobe(_read(spark, sf_dir, "embeddings"))
+    return spark_cosine_topk_ivf_multiprobe(_read(spark, sf_dir, "embeddings", spread=False))
 
 
 def q_ann_ivf_centroid(spark, sf_dir):
     """IVF-flat with data-dependent centroid cells (vs the sign-bucket
     variant's data-oblivious space partition)."""
     from .functions.similarity import spark_cosine_topk_ivf_centroid
-    return spark_cosine_topk_ivf_centroid(_read(spark, sf_dir, "embeddings"))
+    return spark_cosine_topk_ivf_centroid(_read(spark, sf_dir, "embeddings", spread=False))
 
 
 def q_ann_ivf_centroid_multiprobe(spark, sf_dir):
@@ -587,7 +589,7 @@ def q_ann_ivf_centroid_multiprobe(spark, sf_dir):
         spark_cosine_topk_ivf_centroid_multiprobe,
     )
     return spark_cosine_topk_ivf_centroid_multiprobe(
-        _read(spark, sf_dir, "embeddings"))
+        _read(spark, sf_dir, "embeddings", spread=False))
 
 
 def q_lang_char_median(spark, sf_dir):
@@ -621,7 +623,9 @@ def q_fuzzy_vocab(spark, sf_dir):
     broadcast candidates, verified against DuckDB's levenshtein.
     Runs on enriched text so typo clauses make the check discriminating."""
     from .functions.fuzzy_sql import spark_fuzzy_vocab
-    docs = _read(spark, sf_dir, "documents").select(
+    # spread=False: the two-level distinct collapses occurrences on the
+    # map side (Zipf), so scan width buys nothing here (measured r7)
+    docs = _read(spark, sf_dir, "documents", spread=False).select(
         "doc_id", F.expr(ENRICH_SQL).alias("text"))
     return spark_fuzzy_vocab(docs, spark)
 
