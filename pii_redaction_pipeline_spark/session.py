@@ -22,7 +22,7 @@ from pyspark.sql import SparkSession
 # text-only → ARROW_BATCH_TEXT (UDF throughput), audio present →
 # ARROW_BATCH_AUDIO (bounds batch bytes with MB-scale binary rows).
 ARROW_BATCH_ROWS = 1024
-ARROW_BATCH_TEXT = 8192
+ARROW_BATCH_TEXT = 16384  # r7: 2 batches per 31k-row task beat 4 (−6% headline)
 ARROW_BATCH_AUDIO = 256
 
 
